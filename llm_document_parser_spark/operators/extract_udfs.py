@@ -1,0 +1,50 @@
+"""Arrow-batched payload→text extraction UDFs — the only Python in the hot path.
+
+Covers S1 (PDF text scan, reference: src/document_parser.py:148-159) and the
+north_star's HTML boilerplate strip. Both are vectorized ``pandas_udf``s over
+``BinaryType`` batches; batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (session.py) so worst-case
+16 MB payloads (reference cap: src/api_server.py:74) can't blow executor
+memory.
+
+S2 (OCR) is feature-gated exactly like the reference gates it (reference:
+src/document_parser.py:22-28,128-146): without pytesseract, image payloads
+yield "" and the row degrades to ``success=false``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..html_extract import extract_main_text
+from ..minipdf import extract_pdf_text
+
+try:  # pragma: no cover - optional, not installed here
+    import pytesseract  # type: ignore  # noqa: F401
+
+    HAS_OCR = True
+except Exception:  # pragma: no cover
+    HAS_OCR = False
+
+
+def _payload_to_text(payload: bytes | None, kind: str) -> str:
+    if payload is None:
+        return ""
+    if kind == "pdf":
+        return extract_pdf_text(payload)
+    if kind == "html":
+        return extract_main_text(payload.decode("utf-8", errors="replace"))
+    if kind == "text":
+        return payload.decode("utf-8", errors="replace")
+    return ""
+
+
+@F.pandas_udf(StringType())
+def payload_text_udf(payload: pd.Series, kind: pd.Series) -> pd.Series:
+    """Raw text per payload, dispatched on doc_kind. The per-element loop is
+    inside the Arrow batch (executor-side), never on the driver."""
+    return pd.Series(
+        [_payload_to_text(p, k) for p, k in zip(payload, kind)], dtype="object"
+    )

@@ -1,0 +1,46 @@
+"""Doc-kind classification from magic bytes / MIME heuristics — native.
+
+Generalizes the reference's extension dispatch (reference:
+src/api_server.py:1936-1941, src/document_parser.py:756-759) into
+content-based detection per BASELINE.json north_star: ``%PDF-`` prefix →
+pdf; HTML markers in the first 1 KiB → html; otherwise text. Pure column
+expressions — the predicate can be evaluated (and pushed ahead of the
+expensive extraction UDFs) without any Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HTML_MARKER = r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
+
+
+def doc_kind_col(payload: Column) -> Column:
+    # cast(binary as string) reinterprets bytes without UTF-8 validation —
+    # decode() would throw MALFORMED_CHARACTER_CODING on real-web garbage
+    head = F.substring(payload, 1, 1024).cast("string")
+    return (
+        F.when(payload.isNull() | (F.length(payload) == 0), F.lit("empty"))
+        .when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(head.rlike(_HTML_MARKER), F.lit("html"))
+        .otherwise(F.lit("text"))
+    )
+
+
+def document_type_col(text: Column) -> Column:
+    """Heuristic document-type classifier (keyword rules over cleaned text).
+
+    Stands in for the reference's optional ML classification step
+    (reference: src/document_parser.py:771-775) when no trained model is
+    supplied; the Spark ML pipeline in ml/classify.py is the trained
+    equivalent. Rule order is part of the spec.
+    """
+    lower = F.lower(text)
+    return (
+        F.when(lower.contains("invoice"), F.lit("invoice"))
+        .when(lower.contains("receipt"), F.lit("receipt"))
+        .when(lower.contains("contract"), F.lit("contract"))
+        .when(lower.contains("contact:"), F.lit("contact"))
+        .otherwise(F.lit("general"))
+    )

@@ -1,0 +1,100 @@
+"""X1/X3 — per-doc-type regex field extraction, fully native.
+
+The pattern dictionary mirrors the reference's (reference:
+src/document_parser.py:58-105) with Java-regex translations:
+
+* ``re.IGNORECASE`` becomes an embedded ``(?i)`` prefix;
+* Python ``\\Z`` becomes Java ``\\z`` (absolute end of input);
+* the two-capture-group ``parties`` pattern extracts group 1 only
+  (``regexp_extract_all`` is single-group; the reference's tuple-valued
+  output cannot be represented in ARRAY<STRING> — deviation documented in
+  the oracle too, so fixture comparison is apples-to-apples);
+* group-less patterns (``zip_code``) extract group 0.
+
+Application semantics match ``extract_with_patterns`` (reference:
+src/document_parser.py:402-414): findall per field, drop fields with no
+matches, dedup. The reference dedups via ``list(set(...))`` whose order is
+PYTHONHASHSEED-dependent (SURVEY.md §5.4); here ``array_distinct`` keeps
+first-occurrence order and tests compare order-insensitively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (field, java_pattern, group_index) per doc type
+PATTERNS: dict[str, list[tuple[str, str, int]]] = {
+    "invoice": [
+        ("invoice_number", r"(?i)(?:invoice|inv)\.?\s*#?\s*([A-Z0-9-]+)", 1),
+        ("date", r"(?i)(?:date|invoice date):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+        ("due_date", r"(?i)(?:due date|due):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+        ("total_amount", r"(?i)(?:total|amount due|balance):?\s*(\$\d+(?:\.\d{2})?)", 1),
+        ("tax", r"(?i)(?:tax|vat):?\s*(\$\d+(?:\.\d{2})?)", 1),
+        ("first_name", r"(?i)(?:first name|given name):?\s*([A-Z][a-z]+)", 1),
+        ("last_name", r"(?i)(?:last name|surname|family name):?\s*([A-Z][a-z]+)", 1),
+        ("email", r"(?i)([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
+        ("product_id", r"(?i)(?:product id|product code|item #):?\s*([A-Z0-9-]+)", 1),
+        ("qty", r"(?i)(?:quantity|qty):?\s*(\d+)", 1),
+        ("amount", r"(?i)(?:amount|price):?\s*(\$\d+(?:\.\d{2})?)", 1),
+        ("invoice_date", r"(?i)(?:invoice date|date issued):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+        ("address", r"(?i)(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("city", r"(?i)(?:city):?\s*([A-Za-z\s]+)(?=\s*[,]|\s*[A-Z]{2})", 1),
+        ("stock_code", r"(?i)(?:stock code|sku):?\s*([A-Z0-9-]+)", 1),
+        ("job", r"(?i)(?:job|project|work order):?\s*([A-Z0-9-]+)", 1),
+    ],
+    "receipt": [
+        ("date", r"(?i)(?:date):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+        ("total", r"(?i)(?:total|amount):?\s*(\$\d+(?:\.\d{2})?)", 1),
+        ("payment_method", r"(?i)(?:payment method|paid with):?\s*([A-Za-z\s]+)", 1),
+    ],
+    "contract": [
+        ("contract_id", r"(?i)(?:contract|agreement)\s*#?\s*([A-Z0-9-]+)", 1),
+        ("date", r"(?i)(?:date|effective date):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+        ("parties", r"(?i)(?:between|parties):?\s*([A-Za-z0-9\s,&]+)(?:\s+and\s+)(?:[A-Za-z0-9\s,&]+)", 1),
+        ("amount", r"(?i)(?:amount|value):?\s*(\$\d+(?:\.\d{2})?)", 1),
+        ("term", r"(?i)(?:term|duration):?\s*(\d+\s+(?:years?|months?|days?))", 1),
+        ("buyer", r"(?i)(?:buyer|client):?\s*([A-Za-z0-9\s,&]+)", 1),
+        ("supplier", r"(?i)(?:supplier|vendor):?\s*([A-Za-z0-9\s,&]+)", 1),
+    ],
+    "contact": [
+        ("email", r"(?i)([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
+        ("phone", r"(?i)(\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4})", 1),
+        ("website", r"(?i)(https?://[^\s]+)", 1),
+        ("name", r"(?i)(?:name|contact):?\s*([A-Z][a-z]+\s+[A-Z][a-z]+)", 1),
+        ("company", r"(?i)(?:company|firm|organization):?\s*([A-Za-z0-9\s&.,]+)", 1),
+        ("address", r"(?i)(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("zip_code", r"(?i)\b\d{5}(?:-\d{4})?\b", 0),
+    ],
+    "general": [
+        ("currency", r"(?i)(\$\d+(?:,\d{3})*(?:\.\d{2})?)", 1),
+        ("percentage", r"(?i)(\d+(?:\.\d+)?%)", 1),
+        ("date", r"(?i)(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
+    ],
+}
+
+
+def patterns_map_for(text: Column, doc_type: str) -> Column:
+    """MAP<STRING, ARRAY<STRING>> of deduped matches for one doc type,
+    keeping only fields that matched (reference: src/document_parser.py:409-412)."""
+    fields = PATTERNS[doc_type]
+    keys = F.array(*[F.lit(f) for f, _, _ in fields])
+    vals = F.array(
+        *[
+            F.array_distinct(
+                F.coalesce(F.regexp_extract_all(text, F.lit(p), g), F.array())
+            )
+            for _, p, g in fields
+        ]
+    )
+    m = F.map_from_arrays(keys, vals)
+    return F.map_filter(m, lambda _, v: F.size(v) > 0)
+
+
+def patterns_map(text: Column, doc_type: Column) -> Column:
+    """Doc-type-dispatched pattern extraction; unknown types fall back to
+    'general' (reference: src/document_parser.py:406-407)."""
+    expr = patterns_map_for(text, "general")
+    for dt in ("invoice", "receipt", "contract", "contact"):
+        expr = F.when(doc_type == dt, patterns_map_for(text, dt)).otherwise(expr)
+    return expr

@@ -1,0 +1,116 @@
+"""End-to-end extraction pipeline: pages DataFrame → results DataFrame.
+
+The Spark restatement of the reference's ``parse_document`` (reference:
+src/document_parser.py:752-813) — one declarative plan instead of a per-file
+driver loop (reference: src/batch_processor.py:13-69):
+
+  pages
+    → doc_kind (native magic-bytes)                       [kind.py]
+    → repartition by xxhash64(url) (+optional salt)       [skew balance]
+    → payload_text_udf (Arrow pandas UDF: PDF/HTML/text)  [extract_udfs.py]
+    → clean_text (native chain, X2)                       [textclean.py]
+    → document_type (heuristic rules or broadcast model)  [kind.py / ml/]
+    → patterns/contacts/names/entities/features (native)  [operators/*]
+    → text_spans (native, from patterns)
+    → results schema
+
+Everything after the single pandas UDF is whole-stage-codegen'd JVM work; the
+reference's 4× spaCy re-parse per document (reference:
+src/document_parser.py:422,444,525,738) collapses into shared native
+subexpressions here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators.contacts import contacts_map
+from .operators.extract_udfs import payload_text_udf
+from .operators.features import features_struct
+from .operators.kind import doc_kind_col, document_type_col
+from .operators.names import holder_names_struct
+from .operators.ner import entities_map
+from .operators.patterns import patterns_map
+from .operators.textclean import clean_text_col
+
+
+def text_spans_col(text: Column, patterns: Column) -> Column:
+    """ARRAY<STRUCT<field,start,end>> — first-occurrence character span of
+    each extracted pattern field's first value in the extracted text
+    (0-based, end exclusive). Fields whose value doesn't occur verbatim are
+    dropped."""
+    spans = F.transform(
+        F.map_entries(patterns),
+        lambda e: F.struct(
+            e["key"].alias("field"),
+            (F.instr(text, F.try_element_at(e["value"], F.lit(1))) - 1)
+            .cast("long")
+            .alias("start"),
+            (
+                F.instr(text, F.try_element_at(e["value"], F.lit(1)))
+                - 1
+                + F.length(F.try_element_at(e["value"], F.lit(1)))
+            )
+            .cast("long")
+            .alias("end"),
+        ),
+    )
+    return F.filter(spans, lambda s: s["start"] >= 0)
+
+
+def extract_pipeline(
+    pages: DataFrame,
+    repartition_to: int | None = None,
+    doc_type_col_fn=document_type_col,
+) -> DataFrame:
+    """Build the full extraction plan over a pages DataFrame.
+
+    ``repartition_to``: explicit pre-UDF repartition width. At cluster scale
+    this is set to ~2-3× total cores; pass None to keep scan partitioning
+    (AQE still balances downstream shuffles). The repartition key is
+    ``xxhash64(url)`` so hot hosts (zipfian skew) spread uniformly — the
+    moral equivalent of salting the host key (SURVEY.md §4.2 item 2).
+    """
+    df = pages.withColumn("doc_kind", doc_kind_col(F.col("html")))
+    if repartition_to:
+        df = df.repartition(repartition_to, F.xxhash64("url"))
+
+    df = df.withColumn("raw_text", payload_text_udf(F.col("html"), F.col("doc_kind")))
+    df = df.withColumn("extracted_text", clean_text_col(F.col("raw_text")))
+
+    text = F.col("extracted_text")
+    df = df.withColumn("document_type", doc_type_col_fn(text))
+    df = df.withColumn("patterns", patterns_map(text, F.col("document_type")))
+    df = (
+        df.withColumn("contacts", contacts_map(text))
+        .withColumn("names", holder_names_struct(text))
+        .withColumn("entities", entities_map(text))
+        .withColumn("features", features_struct(text))
+        .withColumn("text_spans", text_spans_col(text, F.col("patterns")))
+        .withColumn("success", F.length(text) > 0)
+        .withColumn(
+            "error",
+            F.when(
+                F.length(text) == 0,
+                F.lit("No text could be extracted from the document"),
+            ),
+        )
+        .withColumn("processing_time", F.current_timestamp())
+    )
+    return df.select(
+        "url",
+        "warc_ts",
+        "doc_kind",
+        "document_type",
+        "extracted_text",
+        "text_spans",
+        "patterns",
+        "contacts",
+        "names",
+        "entities",
+        "features",
+        "success",
+        "error",
+        "processing_time",
+    )

@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs 4 Celery worker processes (reference:
+scripts/start_celery_worker.py:20); here parallelism is Spark executors. The
+configs below are the ones that matter at 100 TB: AQE (runtime coalesce +
+skew-join splitting), Arrow batching sized for large binary payloads (16 MB
+worst-case per document, reference: src/api_server.py:74), and a shuffle
+partition count that AQE can coalesce downward.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Max uncompressed payload is 16 MB (reference cap); a 10k-row default Arrow
+# batch of such payloads would be 160 GB. 64 rows/batch bounds a batch at ~1 GB
+# worst-case and ~2-6 MB for typical web pages.
+ARROW_MAX_RECORDS_PER_BATCH = 64
+
+
+def get_spark(
+    app_name: str = "llm-document-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for the extraction workload.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster it is supplied by spark-submit and must be left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+
+    cores = _parallelism_hint(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cores * 2)
+
+    conf = {
+        # --- adaptive execution: runtime partition coalescing + skew split ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # --- shuffle sizing ---
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # 128 MB input splits: the scan parallelism knob at 100 TB
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # --- Arrow / pandas UDF path ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_MAX_RECORDS_PER_BATCH),
+        # reuse python workers so per-executor singletons (models, compiled
+        # regexes) are loaded once, not per task
+        "spark.python.worker.reuse": "true",
+        # broadcast joins for dimension tables up to 64 MB
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # quieter local runs
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _parallelism_hint(master: str | None) -> int:
+    if master and master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
