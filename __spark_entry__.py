@@ -1,38 +1,67 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+The catalog lives in llm_document_parser_spark/queries.py; the extraction
+engine itself in llm_document_parser_spark/ (see SURVEY.md §7 build plan).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llm_document_parser_spark import queries as _q  # noqa: E402
+from llm_document_parser_spark.datagen import generate_pages  # noqa: E402
+from llm_document_parser_spark.pipeline import extract_pipeline  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full extraction pipeline over (a) sf0.001 documents as
+    text payloads and (b) deterministic synthetic HTML/PDF/text pages —
+    per-url extraction results with patterns/entities/features populated."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    doc_pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    synth_pages = generate_pages(spark, 100, seed=42, partitions=4)
+    pages = doc_pages.unionByName(synth_pages)
+    res = extract_pipeline(pages, repartition_to=8)
+    return res.select(
+        "url",
+        "doc_kind",
+        "document_type",
+        "extracted_text",
+        "patterns",
+        "names",
+        "features",
+        "success",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_q.REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; extraction-pipeline queries are
+    deliberately omitted (Java-regex lookaheads are outside RE2) — they are
+    covered by the byte-identical pytest oracle instead."""
+    return dict(_q.ORACLES)

@@ -1,0 +1,110 @@
+"""Benchmark: headline queries + extraction throughput at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "extract_docs_per_sec", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., "cpus": ...,
+   "extract": {...}}
+
+The headline metric is extraction throughput (BASELINE.json `metric`):
+documents/sec through the full classify→extract pipeline over the
+deterministic synthetic pages table (HTML/PDF/plaintext payload mix). Page
+generation is excluded from timing (pages are materialized to parquet
+first); the timed job is scan → pipeline → noop sink, i.e. pure engine
+compute. Relational/dedup/similarity queries are timed individually over
+the sf tables.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from llm_document_parser_spark.datagen import write_pages  # noqa: E402
+from llm_document_parser_spark.pipeline import extract_pipeline  # noqa: E402
+from llm_document_parser_spark.queries import REGISTRY  # noqa: E402
+from llm_document_parser_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "regional_revenue",
+    "segment_order_stats",
+    "latest_events_per_user",
+    "hourly_event_counts",
+    "order_status_cube",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_token_counts",
+    "exact_dup_groups",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "synth_invoice_roundtrip",
+]
+
+N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", app_name="ldp-bench")
+
+    # --- materialize the pages table once (untimed) ---
+    pages_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_pages_{N_EXTRACT_DOCS}"
+    )
+    if not os.path.exists(pages_path):
+        write_pages(spark, pages_path, N_EXTRACT_DOCS, seed=42, partitions=cpus * 2)
+
+    # warm the JVM/python workers with a tiny run
+    extract_pipeline(
+        spark.read.parquet(pages_path).limit(64)
+    ).write.format("noop").mode("overwrite").save()
+
+    # --- timed: full extraction (scan -> pipeline -> noop sink) ---
+    t0 = time.perf_counter()
+    extract_pipeline(
+        spark.read.parquet(pages_path), repartition_to=cpus * 2
+    ).write.format("noop").mode("overwrite").save()
+    extract_secs = time.perf_counter() - t0
+    docs_per_sec = N_EXTRACT_DOCS / extract_secs
+
+    # --- timed: catalog queries ---
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(extract_secs + sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extract_docs_per_sec",
+                "value": round(docs_per_sec, 1),
+                "unit": "docs/sec",
+                "queries": per_query,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "cpus": cpus,
+                "extract": {
+                    "docs": N_EXTRACT_DOCS,
+                    "seconds": round(extract_secs, 3),
+                },
+                "total_seconds": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

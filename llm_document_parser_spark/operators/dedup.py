@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines, at Spark scale.
+
+Four families, each a composition of built-in DataFrame ops (no UDFs):
+
+* exact           — hash-groupBy on a normalized-text digest
+* minhash + LSH   — shingle → k md5-min signatures → banded keys →
+                    bucket self-join for candidate pairs
+* simhash         — 16-bit majority-vote fingerprint from token hashes
+* n-gram Jaccard  — exact pairwise similarity (verification-tier; run it on
+                    LSH candidates, never the cross product, at scale)
+
+Hash primitive is md5 hex (portable to the ANSI-SQL oracle). Shingling and
+signatures are per-row higher-order functions — zero shuffles until the one
+groupBy/join each algorithm fundamentally needs. At 10^12 docs the LSH
+bucket join is the scalable path: candidate generation is O(n·bands) with a
+shuffle keyed on (band, key), and AQE skew-split handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalized_digest(text: Column) -> Column:
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (modulo whitespace/case) documents:
+    (digest, dup_count, keep_id) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col), normalized_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("dup_count"),
+            F.min(id_col).cast("long").alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of lowercased text."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """ARRAY<STRING> of per-hash-function minima: element h is
+    min(md5(h || ':' || shingle)) — the md5-hex-string analog of k
+    independent min-hash functions. Empty shingle set → NULL mins."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{h}:"), s)))
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """ARRAY<STRUCT<band INT, key STRING>> — banded LSH keys."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.try_element_at(sig, F.lit(b * rows_per_band + r + 1))
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Plan shape at scale: narrow per-row signature compute → explode bands
+    (×bands rows) → shuffle by (band, key) → within-bucket self-join →
+    distinct. No cross product anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    # explode shingles then agg per-hash minima: one narrow pass + one
+    # shuffle keyed on id. (Computing the signature as a nested array
+    # expression would inline the shingle transform num_hashes times —
+    # codegen blowup and redundant work.)
+    sh = (
+        df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("s"),
+        )
+    )
+    sig_df = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    other = banded.select(
+        F.col("id").alias("id_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b")
+    )
+    return (
+        banded.join(
+            other,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key") == F.col("key_b"))
+            & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a").cast("long"), F.col("id_b").cast("long"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _token_bit(tok_md5: Column, bit: int) -> Column:
+    """Bit ``bit`` (0..15 over the first 4 hex chars) of a token's md5."""
+    nibble = F.position(F.substring(tok_md5, bit // 4 + 1, 1), F.lit(_HEX)) - 1
+    return F.floor(nibble / (2 ** (bit % 4))) % 2
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit simhash per document: bit b set iff the majority of tokens have
+    bit b set in md5(token). Explode + single groupBy — one shuffle."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(_token_bit(F.col("h"), b) * 2 - 1).alias(f"v{b}") for b in range(16)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col).cast("long"), fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification tier)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct shingle sets — O(n²); intended
+    for LSH candidate verification or small slices."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,806 @@
+"""Query catalog: every SURVEY.md §2 operator family as a (Spark builder,
+ANSI-SQL oracle) pair, exposed through __spark_entry__.py.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame; the oracle SQL
+runs on DuckDB over the same parquet views. Portability rules observed
+throughout (so value-hashes match):
+
+* counts/ids cast to BIGINT; ``F.size`` returns int → always ``.cast("long")``
+* float aggregates rounded (2 for money sums, 4-6 for ratios) — raw
+  pass-through doubles are left unrounded (identical bits on both sides)
+* timestamps never returned raw: always ``date_format``/``strftime`` strings
+  (wall-clock round-trips are timezone-invariant)
+* hashing is md5 hex (cross-engine); xxhash64 stays engine-internal
+* DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  global-by-default behavior
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, similarity, textstats
+from .pipeline import extract_pipeline
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# §2.4 aggregations / §2.2 filters
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           round(avg(l_quantity), 4)                          AS avg_qty,
+           count(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — partial/final hash agg, filter pushdown (A4 analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_totalprice AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — top-k plans as TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "segment_order_stats",
+    """
+    SELECT c_mktsegment,
+           count(*)                   AS order_cnt,
+           round(sum(o_totalprice),2) AS revenue,
+           round(avg(o_totalprice),4) AS avg_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 inner equi join + A1 agg; customer side broadcasts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "regional_revenue",
+    """
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey   = c_custkey
+      JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: dims broadcast, fact never shuffles until the final agg."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "big_spender_nations",
+    """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_nationkey
+    """,
+)
+def big_spender_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast left-semi join (reference's Mongo $in lookup shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — anti join (reference's existence-check-before-insert shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey"
+    )
+
+
+@query(
+    "order_priority_counts",
+    "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — group-count (reference: $group {_id, count} shape)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "order_status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — the $facet multi-aggregation as a cube (grouping sets)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "events_facets",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY CUBE (event_type)
+    """,
+)
+def events_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 — facet counts + grand total in one pass."""
+    return (
+        _t(spark, sf_dir, "events")
+        .cube("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_summary",
+    """
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_event,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_event,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def events_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A10 — min/max range + counts (reference: get_search_facets)."""
+    return _t(spark, sf_dir, "events").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_event"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_event"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "hourly_event_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T7 — tumbling-window quota counting (fixed-window rate limiter)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour_bucket"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===========================================================================
+# §2.5 windows / §2.6 sort-limit-paginate
+# ===========================================================================
+
+
+@query(
+    "latest_events_per_user",
+    """
+    SELECT user_id, event_id, rnk FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rnk
+      FROM events) WHERE rnk <= 3
+    """,
+)
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — relevance-then-recency ranking (reference: search sort)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+@query(
+    "paginated_orders",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — sort → skip → limit pagination (reference: search_engine)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+# ===========================================================================
+# §2.7 set ops / §2.8 scalar functions
+# ===========================================================================
+
+
+@query(
+    "union_sources",
+    """
+    SELECT source, count(*) AS n FROM (
+      SELECT doc_id, source FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT doc_id, source FROM documents WHERE lang = 'zh'
+    ) GROUP BY source
+    """,
+)
+def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union of training sources (reference: pd.concat)."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en").select("doc_id", "source")
+    zh = d.filter(F.col("lang") == "zh").select("doc_id", "source")
+    return en.unionByName(zh).groupBy("source").agg(F.count("*").alias("n"))
+
+
+@query(
+    "token_dedup_stats",
+    """
+    SELECT doc_id,
+           len(string_split(lower(text), ' '))                 AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+    FROM documents
+    """,
+)
+def token_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3 — array_distinct dedup semantics."""
+    toks = textstats.tokens_col(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "event_scalar_funcs",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d')        AS day,
+           floor(value * 1.1 * 100) / 100  AS value_adj,
+           upper(event_type)               AS etype,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def event_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9/X12/X14/X15 — date format, arithmetic, case, JSON extraction."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (F.floor(F.col("value") * 1.1 * 100) / 100).alias("value_adj"),
+        F.upper("event_type").alias("etype"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@query(
+    "docs_regex_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE regexp_matches(text, 'spark.*join')
+    """,
+)
+def docs_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — rlike predicate."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("spark.*join"))
+        .select("doc_id", "n_chars")
+    )
+
+
+@query(
+    "docs_first_after_the",
+    """
+    SELECT doc_id, regexp_extract(text, 'the ([a-z]+)', 1) AS after_the
+    FROM documents WHERE regexp_extract(text, 'the ([a-z]+)', 1) <> ''
+    """,
+)
+def docs_first_after_the(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-shape — single regexp capture extraction."""
+    ex = F.regexp_extract(F.col("text"), "the ([a-z]+)", 1)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", ex.alias("after_the"))
+        .filter(F.col("after_the") != "")
+    )
+
+
+@query(
+    "export_flatten",
+    """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS first_token,
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ', ') AS head_tokens
+    FROM documents
+    """,
+)
+def export_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/X11/X17 — export flattening: first element + delimited join."""
+    toks = F.split(F.col("text"), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.array_join(F.slice(toks, 1, 5), ", ").alias("head_tokens"),
+    )
+
+
+@query(
+    "synth_invoice_roundtrip",
+    """
+    WITH synth AS (
+      SELECT o_orderkey,
+             printf('INVOICE #INV-%d Total: $%.2f Quantity: %d',
+                    o_orderkey, o_totalprice, o_orderkey % 7 + 1) AS text
+      FROM orders WHERE o_orderkey < 2000)
+    SELECT o_orderkey,
+           regexp_extract(text, '(?i)(?:total|amount due|balance):?\\s*(\\$\\d+(?:\\.\\d{2})?)', 1) AS total_amount,
+           regexp_extract(text, '(?i)(?:quantity|qty):?\\s*(\\d+)', 1) AS qty
+    FROM synth
+    """,
+)
+def synth_invoice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 (template synthesis) + X1 (pattern extraction) round-trip."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    text = F.format_string(
+        "INVOICE #INV-%d Total: $%.2f Quantity: %d",
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderkey") % 7 + 1,
+    )
+    synth = o.select("o_orderkey", text.alias("text"))
+    return synth.select(
+        "o_orderkey",
+        F.regexp_extract(
+            "text", r"(?i)(?:total|amount due|balance):?\s*(\$\d+(?:\.\d{2})?)", 1
+        ).alias("total_amount"),
+        F.regexp_extract("text", r"(?i)(?:quantity|qty):?\s*(\d+)", 1).alias("qty"),
+    )
+
+
+# ===========================================================================
+# text analysis (training-data pipeline tier)
+# ===========================================================================
+
+_LANG_HIT_SQL = {
+    "en": r"\b(?:the|and|of|to|is|in|that|it)\b",
+    "es": r"\b(?:el|la|de|que|los|una|por|con)\b",
+    "de": r"\b(?:der|die|das|und|ist|nicht|ein|mit)\b",
+    "fr": r"\b(?:le|les|des|est|une|dans|pour|que)\b",
+}
+
+_LANG_ID_ORACLE = (
+    "WITH h AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS h_{lang}"
+        for lang, pat in _LANG_HIT_SQL.items()
+    )
+    + ", greatest("
+    + ", ".join(f"len(regexp_extract_all(lower(text), '{p}'))" for p in _LANG_HIT_SQL.values())
+    + ") AS best FROM documents) "
+    "SELECT doc_id, CASE "
+    + " ".join(f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'" for lang in _LANG_HIT_SQL)
+    + " ELSE 'und' END AS lang_pred FROM h"
+)
+
+
+@query("doc_lang_id", _LANG_ID_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-hit argmax (n-gram heuristic family)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "doc_quality",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS words
+      FROM documents)
+    SELECT doc_id,
+           round(
+             least(n / 500.0, 1.0) * 0.3
+             + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+             + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) <= 0.1
+                     THEN 1.0 ELSE 0.0 END) * 0.15
+             + (CASE WHEN words > 0
+                      AND (n - (words - 1)) / words >= 3.0
+                      AND (n - (words - 1)) / words <= 10.0
+                     THEN 1.0 ELSE 0.0 END) * 0.15, 6) AS quality
+    FROM m
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / alpha-ratio / punctuation / word-length."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@query(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish pre-tokenizer."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("ws_tokens"),
+        textstats.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text digest fingerprint."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+@query(
+    "exact_dup_groups",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+    SELECT digest, count(*) AS dup_count, min(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+          FROM all_docs)
+    GROUP BY digest HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy duplicate groups (planted + natural dups)."""
+    return dedup.exact_dup_groups(_docs_with_exact_dups(spark, sf_dir))
+
+
+_MINHASH_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{h}:' || s)))" for h in range(8)
+) + "]"
+
+_MINHASH_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id AS id, lower(text) AS t FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 100000, lower(substr(text, strpos(text, ' ') + 1))
+      FROM documents WHERE doc_id < 40),
+    tok AS (SELECT id, string_split(t, ' ') AS tk FROM base),
+    sh AS (SELECT id,
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           FROM tok WHERE len(tk) >= 3),
+    sig AS (SELECT id, {_MINHASH_SIG_SQL} AS sg FROM sh),
+    band AS (SELECT id, b, sg[2*b+1] || '|' || sg[2*b+2] AS key
+             FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) u)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+"""
+
+
+@query("minhash_near_dup_pairs", _MINHASH_ORACLE)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: originals vs drop-first-word copies."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    return dedup.minhash_candidate_pairs(both, num_hashes=8, bands=4)
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for b in range(16):
+        hexpos = b // 4 + 1
+        div = 2 ** (b % 4)
+        nib = f"(strpos('0123456789abcdef', substr(hh, {hexpos}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {div}.0) AS BIGINT) % 2)"
+        votes.append(f"SUM({bit} * 2 - 1) AS v{b}")
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+                 FROM documents WHERE doc_id < 100),
+    h AS (SELECT doc_id, md5(tok) AS hh FROM tok),
+    bits AS (SELECT doc_id, {", ".join(votes)} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("simhash_fingerprints", _simhash_oracle())
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (majority vote over token md5 bits)."""
+    return dedup.simhash16(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+
+
+@query(
+    "jaccard_similarity_pairs",
+    """
+    WITH tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS tk
+                 FROM documents WHERE doc_id < 30),
+    sh AS (SELECT id,
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           FROM tok WHERE len(tk) >= 3)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    """,
+)
+def jaccard_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over all pairs of a small slice."""
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    )
+
+
+# ===========================================================================
+# similarity search (embeddings)
+# ===========================================================================
+
+# scalar-list form (DuckDB range() cannot take lateral column params);
+# list_sum folds left-to-right -> bit-identical to Spark's aggregate() fold
+_COSINE_SQL = """
+    round(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))), 6)
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
+          FROM q, c WHERE query_id <> neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline); broadcast query side."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=5)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+@query(
+    "embedding_near_dups",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10),
+    a AS (SELECT vec_id AS id_a, embedding AS qv FROM base),
+    b AS (SELECT vec_id AS id_b, embedding AS cv FROM base),
+    s AS (SELECT id_a, id_b, {_COSINE_SQL} AS score
+          FROM a, b WHERE id_a < id_b)
+    SELECT id_a, id_b, score FROM s WHERE score >= 0.99
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (planted identical copies)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = (
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    # embedding_near_dup_pairs aliases qv/cv internally as va/vb; inline here
+    # to keep column naming aligned with the oracle
+    return similarity.embedding_near_dup_pairs(base, threshold=0.99)
+
+
+# ===========================================================================
+# extraction engine (rows-only checks: regex lookaheads are outside RE2,
+# so no SQL oracle — the byte-identical pytest oracle covers these)
+# ===========================================================================
+
+
+@query("extract_docs_as_pages")
+def extract_docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over sf documents treated as text payloads."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.col("text"), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    res = extract_pipeline(pages)
+    return res.select(
+        "url",
+        "doc_kind",
+        "document_type",
+        F.col("features.text_length").alias("text_len"),
+        "success",
+    )
+
+
+@query("extract_synthetic_pages")
+def extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over the deterministic synthetic HTML/PDF/text pages table
+    (independent of sf_dir); exercises the full payload path."""
+    from .datagen import generate_pages
+
+    pages = generate_pages(spark, 200, seed=42, partitions=8)
+    res = extract_pipeline(pages, repartition_to=8)
+    return (
+        res.groupBy("doc_kind", "document_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0)).cast("long").alias("n_success"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""Idempotent resume semantics: kill mid-job, resume, byte-equal results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.datagen import generate_pages
+from llm_document_parser_spark.lineage import job_progress, run_with_lineage
+from llm_document_parser_spark.pipeline import extract_pipeline
+
+
+def _transform(df):
+    return extract_pipeline(df).drop("processing_time")
+
+
+def _snapshot(spark, path):
+    rows = spark.read.parquet(path).drop("bucket").collect()
+    return sorted((r["url"], r["extracted_text"], r["document_type"]) for r in rows)
+
+
+def test_resume_after_kill_produces_identical_results(spark, tmp_path):
+    pages = generate_pages(spark, 60, seed=3, partitions=4)
+
+    # one-shot reference run
+    ref_res = str(tmp_path / "ref_results")
+    ref_lin = str(tmp_path / "ref_lineage")
+    run_with_lineage(
+        spark, pages, _transform, ref_res, ref_lin, job_id="ref", num_buckets=8
+    )
+    want = _snapshot(spark, ref_res)
+    assert len(want) == 60
+
+    # killed run: fails after 1 of 2 groups committed
+    res = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_with_lineage(
+            spark, pages, _transform, res, lin,
+            job_id="j1", num_buckets=8, fail_after_groups=1,
+        )
+    prog = job_progress(spark, lin, "j1", 8)
+    assert 0 < prog["completed_buckets"] < 8
+
+    # resume with the same job id → completes, results byte-equal to one-shot
+    run_with_lineage(
+        spark, pages, _transform, res, lin, job_id="j1", num_buckets=8
+    )
+    assert job_progress(spark, lin, "j1", 8)["progress"] == 1.0
+    assert _snapshot(spark, res) == want
+
+
+def test_rerun_completed_job_is_noop(spark, tmp_path):
+    pages = generate_pages(spark, 20, seed=5, partitions=2)
+    res = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    run_with_lineage(spark, pages, _transform, res, lin, job_id="j2", num_buckets=4)
+    first = _snapshot(spark, res)
+    run_with_lineage(spark, pages, _transform, res, lin, job_id="j2", num_buckets=4)
+    lineage_rows = (
+        spark.read.parquet(lin).filter(F.col("job_id") == "j2").count()
+    )
+    assert lineage_rows == 4  # no duplicate lineage appends on no-op rerun
+    assert _snapshot(spark, res) == first
