@@ -72,7 +72,7 @@ def main() -> None:
     # --- timed: full extraction (scan -> pipeline -> noop sink) ---
     t0 = time.perf_counter()
     extract_pipeline(
-        spark.read.parquet(pages_path), repartition_to=cpus
+        spark.read.parquet(pages_path)
     ).write.format("noop").mode("overwrite").save()
     extract_secs = time.perf_counter() - t0
     docs_per_sec = N_EXTRACT_DOCS / extract_secs

@@ -91,10 +91,44 @@ def patterns_map_for(text: Column, doc_type: str) -> Column:
     return F.map_filter(m, lambda _, v: F.size(v) > 0)
 
 
+def enrich_invoice_patterns(text: Column, base: Column, persons: Column, gpes: Column) -> Column:
+    """X3 — invoice NER backfill (reference: ``extract_invoice_details``,
+    src/document_parser.py:416-441): the first PERSON entity with ≥2 name
+    parts fills missing ``first_name``/``last_name``; GPE entities fill a
+    missing ``city``. ``persons``/``gpes`` are the (non-deduped) NER match
+    arrays, mirroring the reference's entity lists."""
+    two_part = F.filter(persons, lambda p: F.size(F.split(F.trim(p), r"\s+")) >= 2)
+    fp = F.try_element_at(two_part, F.lit(1))
+    fp_parts = F.split(F.trim(fp), r"\s+")
+    with_first = F.when(
+        fp.isNotNull() & ~F.map_contains_key(base, F.lit("first_name")),
+        F.create_map(F.lit("first_name"), F.array(F.try_element_at(fp_parts, F.lit(1)))),
+    ).otherwise(F.create_map().cast("map<string,array<string>>"))
+    with_last = F.when(
+        fp.isNotNull() & ~F.map_contains_key(base, F.lit("last_name")),
+        F.create_map(F.lit("last_name"), F.array(F.try_element_at(fp_parts, F.lit(-1)))),
+    ).otherwise(F.create_map().cast("map<string,array<string>>"))
+    with_city = F.when(
+        (F.size(gpes) > 0) & ~F.map_contains_key(base, F.lit("city")),
+        F.create_map(F.lit("city"), gpes),
+    ).otherwise(F.create_map().cast("map<string,array<string>>"))
+    return F.map_concat(base, with_first, with_last, with_city)
+
+
 def patterns_map(text: Column, doc_type: Column) -> Column:
     """Doc-type-dispatched pattern extraction; unknown types fall back to
-    'general' (reference: src/document_parser.py:406-407)."""
+    'general' (reference: src/document_parser.py:406-407). Invoices get the
+    X3 NER backfill (reference: src/document_parser.py:778-781 dispatches
+    invoices through extract_invoice_details)."""
+    from .ner import entity_matches
+
     expr = patterns_map_for(text, "general")
-    for dt in ("invoice", "receipt", "contract", "contact"):
+    for dt in ("receipt", "contract", "contact"):
         expr = F.when(doc_type == dt, patterns_map_for(text, dt)).otherwise(expr)
-    return expr
+    invoice = enrich_invoice_patterns(
+        text,
+        patterns_map_for(text, "invoice"),
+        entity_matches(text, "PERSON", dedup=False),
+        entity_matches(text, "GPE", dedup=False),
+    )
+    return F.when(doc_type == "invoice", invoice).otherwise(expr)

@@ -48,6 +48,25 @@ def get_spark(
         # (the JVM persists across SparkSession.stop()); benchmark harnesses
         # must use one subprocess per session — see tools/scaling_bench.py
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # shuffle/scratch space: this sandbox periodically wipes /tmp, which
+        # can delete Spark's local dirs mid-job; keep them somewhere durable
+        "spark.local.dir": os.environ.get(
+            "SPARK_GRAFT_LOCAL_DIR", "/root/repo/.data/spark-local"
+        ),
+        # Spark sets only -Xmx from spark.driver.memory; the heap then grows
+        # lazily and page-faults in DURING jobs (measured: 80-90% kernel time
+        # at 32 threads). Benchmarks set SPARK_GRAFT_PRETOUCH=1 to commit the
+        # whole heap at JVM start instead.
+        **(
+            {
+                "spark.driver.extraJavaOptions": (
+                    f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')}"
+                    " -XX:+AlwaysPreTouch"
+                )
+            }
+            if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+            else {}
+        ),
         # --- adaptive execution: runtime partition coalescing + skew split ---
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

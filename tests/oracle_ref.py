@@ -237,9 +237,28 @@ def extract_features(text: str) -> dict[str, int]:
 # ---------------------------------------------------------------------------
 
 
+def extract_invoice_details(text: str) -> dict[str, list[str]]:
+    """X3 — reference: src/document_parser.py:416-441 with the rule-NER
+    stand-in: first PERSON with >=2 parts fills missing first/last name;
+    GPE list fills missing city."""
+    results = extract_with_patterns(text, "invoice")
+    persons = re.findall(NER_PATTERNS["PERSON"], text)
+    for person in persons:
+        parts = person.split()
+        if len(parts) >= 2:
+            if "first_name" not in results:
+                results["first_name"] = [parts[0]]
+            if "last_name" not in results:
+                results["last_name"] = [parts[-1]]
+    gpes = re.findall(NER_PATTERNS["GPE"], text)
+    if gpes and "city" not in results:
+        results["city"] = gpes
+    return results
+
+
 def parse_text(cleaned_text: str, doc_type: str) -> dict:
     if doc_type == "invoice":
-        pattern_results = extract_with_patterns(cleaned_text, "invoice")
+        pattern_results = extract_invoice_details(cleaned_text)
     else:
         pattern_results = extract_with_patterns(cleaned_text, doc_type)
     return {

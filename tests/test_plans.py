@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions — the plans we'd want at 100 TB.
+
+These guard the optimizer contract, not the results: filter pushdown reaches
+the parquet scan, small dims broadcast, top-k avoids full sorts, and the
+extraction pipeline keeps exactly ONE Python stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_document_parser_spark.datagen import generate_pages
+from llm_document_parser_spark.pipeline import extract_pipeline
+from llm_document_parser_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df, mode: str) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def plan_of(df) -> str:
+    return _explain(df, "simple")
+
+
+def formatted(df) -> str:
+    return _explain(df, "formatted")
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    df = REGISTRY["pricing_summary"](spark, SF)
+    txt = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt
+    # column pruning: scan must not read unused money columns
+    assert "l_tax" not in txt.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    txt = plan_of(REGISTRY["regional_revenue"](spark, SF))
+    assert txt.count("BroadcastHashJoin") >= 3  # region/nation/customer sides
+    assert "SortMergeJoin" not in txt or txt.count("SortMergeJoin") <= 1
+
+
+def test_top_orders_uses_take_ordered(spark):
+    txt = plan_of(REGISTRY["top_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in txt  # no global sort materialization
+
+
+def test_semi_and_anti_joins(spark):
+    semi = plan_of(REGISTRY["big_spender_nations"](spark, SF))
+    assert "LeftSemi" in semi
+    anti = plan_of(REGISTRY["customers_without_orders"](spark, SF))
+    assert "LeftAnti" in anti
+
+
+def test_extract_pipeline_has_single_python_stage(spark):
+    pages = generate_pages(spark, 10, seed=1, partitions=2)
+    txt = plan_of(extract_pipeline(pages))
+    # exactly one Arrow-batched python eval; everything else JVM-side
+    assert txt.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in txt  # no row-at-a-time python UDFs
+
+
+def test_ann_topk_broadcasts_query_side(spark):
+    txt = plan_of(REGISTRY["ann_cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
