@@ -21,11 +21,16 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# executor-faithful heap: 2 GB per core, fully pre-touched (lazy heap growth
+# measured as 80-90% kernel time at 32 threads — see BENCH/BASELINE.md)
+_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * _CPUS}g")
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 
 from llm_document_parser_spark.datagen import write_pages  # noqa: E402
 from llm_document_parser_spark.pipeline import extract_pipeline  # noqa: E402
@@ -49,12 +54,12 @@ BENCH_QUERIES = [
     "synth_invoice_roundtrip",
 ]
 
-N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = _CPUS
     spark = get_spark(master=f"local[{cpus}]", app_name="ldp-bench")
 
     # --- materialize the pages table once (untimed) ---
@@ -64,9 +69,11 @@ def main() -> None:
     if not os.path.exists(pages_path):
         write_pages(spark, pages_path, N_EXTRACT_DOCS, seed=42, partitions=cpus * 2)
 
-    # warm the JVM/python workers with a tiny run
+    # full untimed warm-up (JIT, python worker pool, page cache) — the
+    # timed run below measures steady-state throughput, same methodology as
+    # tools/scaling_bench.py
     extract_pipeline(
-        spark.read.parquet(pages_path).limit(64)
+        spark.read.parquet(pages_path)
     ).write.format("noop").mode("overwrite").save()
 
     # --- timed: full extraction (scan -> pipeline -> noop sink) ---
