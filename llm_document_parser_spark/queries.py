@@ -804,3 +804,143 @@ def extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("success"), 1).otherwise(0)).cast("long").alias("n_success"),
         )
     )
+
+
+# ===========================================================================
+# widening coverage: supplier/part tables, rollup, distinct-agg, per-user
+# rollups, deterministic sampling
+# ===========================================================================
+
+
+@query(
+    "expensive_parts_by_brand",
+    """
+    SELECT p_brand,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price,
+           max(p_size) AS max_size
+    FROM part WHERE p_type LIKE '%MEDIUM%'
+    GROUP BY p_brand
+    """,
+)
+def expensive_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-table scan with LIKE predicate + agg."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("%MEDIUM%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@query(
+    "supplier_nation_balance",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-dim join (broadcast) + agg."""
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "revenue_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (region → nation → grand total)."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand/partial-agg plan under the hood."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "user_activity_rollup",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — per-user usage counters recomputed from the events table."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "deterministic_doc_sample",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE md5(text) < '20'
+    """,
+)
+def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash threshold sampling — the scale-friendly deterministic
+    sampler (same rows regardless of partitioning/engine, ~1/8 rate for
+    threshold '20'); the portable alternative to seeded rand() sampling."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.md5("text") < "20")
+        .select("doc_id", "n_chars")
+    )
