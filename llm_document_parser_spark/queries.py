@@ -944,3 +944,69 @@ def deterministic_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.md5("text") < "20")
         .select("doc_id", "n_chars")
     )
+
+
+# ===========================================================================
+# LSH-bucketed approximate nearest neighbors (the 100 TB ANN path)
+# ===========================================================================
+
+# deterministic hyperplanes: plane[p][i] = (md5-free) fixed pseudo-random in
+# [-1, 1] from a linear congruential sequence — identical literals on both
+# engines, no runtime randomness
+def _lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
+    planes = []
+    state = 123456789
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(round(state / (2**31) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+_ANN_PLANES = _lcg_planes(4, 64)
+
+
+def _plane_sql(vec: str, plane: list[float]) -> str:
+    lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
+    return (
+        f"(CASE WHEN list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i])) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = [
+        f"{_plane_sql(vec, plane)} * {2 ** i}" for i, plane in enumerate(_ANN_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_bucket_sql('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_bucket_sql('embedding')} AS bucket
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
+          FROM q JOIN c USING (bucket)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k: candidates share a sign
+    sketch bucket (equi-join, no cross product) — the scale path where
+    brute force would shuffle the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_cosine_topk(
+        e.filter(F.col("vec_id") < 8), e, planes=_ANN_PLANES, k=3
+    )
+    return out.withColumnRenamed("rank", "rnk")

@@ -48,3 +48,25 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
     q2.awaitTermination(180)
     n2 = spark.read.parquet(str(tmp_path / "results")).count()
     assert n1 == n2 == 20
+
+
+def test_daily_window_counts_with_watermark(spark, tmp_path):
+    from llm_document_parser_spark.streaming.ingest import daily_url_counts, stream_pages
+
+    pages_path = str(tmp_path / "wpages")
+    generate_pages(spark, 50, seed=15, partitions=2).write.parquet(pages_path)
+    stream = stream_pages(spark, pages_path, max_files_per_trigger=None)
+    counts = daily_url_counts(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("daily_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM daily_counts").collect()
+    # append mode + availableNow: windows older than the watermark emit
+    assert sum(r["n_pages"] for r in rows) > 0
+    assert all(r["n_pages"] >= 1 for r in rows)
