@@ -1,89 +1,101 @@
-"""Custom stateful streaming operator: cross-micro-batch first-seen dedup.
+"""Stateful streaming operators for crawl ingest.
 
-A crawl-ingest need the reference can't express (its dedup is per-request):
-the same url may arrive in many WARC micro-batches; only the first
-occurrence should flow downstream. Implemented with
-``applyInPandasWithState`` — per url-hash group, the state is the set of
-seen url hashes (xxhash64, 8 bytes/url), so state size is bounded by
-corpus cardinality / num_groups and lookups are O(1) per row.
+Two tiers, chosen deliberately:
 
-At 10¹² urls this is the streaming counterpart of exact_dup_groups: state
-shards across ``num_groups`` partitions exactly like the lineage buckets.
+* ``first_seen_pages`` — cross-micro-batch url dedup. This is Structured
+  Streaming's built-in ``dropDuplicates``: per-key state in the state
+  store, real url comparison (no hash-collision loss), full row preserved.
+  Don't hand-roll what the engine already scales.
+
+* ``host_crawl_budget`` — a genuinely custom stateful operator via
+  ``applyInPandasWithState``: per-host cumulative page counting with a
+  budget flag, the streaming analog of the reference's per-user daily
+  quota (reference: src/api_server.py:1358-1361, src/rate_limiter.py).
+  Not expressible as dropDuplicates or a windowed agg (it emits one row
+  per host per micro-batch carrying both the batch delta and the running
+  total). State is two longs per host — bounded by host cardinality, not
+  page count, so it holds at 10¹² pages.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterable
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BooleanType,
     LongType,
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
-DEDUP_OUTPUT_SCHEMA = StructType(
+
+def first_seen_pages(pages_stream: DataFrame) -> DataFrame:
+    """Cross-batch first-seen dedup with the full page row preserved.
+
+    ``dropDuplicates`` keeps per-url state in the state store; for
+    bounded-retention crawls use ``dropDuplicatesWithinWatermark`` after a
+    ``withWatermark("warc_ts", ...)`` to cap state growth.
+    """
+    return pages_stream.dropDuplicates(["url"])
+
+
+BUDGET_OUTPUT_SCHEMA = StructType(
     [
-        StructField("url", StringType()),
-        StructField("warc_ts", TimestampType()),
-        StructField("first_seen_batch_rows", LongType()),
+        StructField("host", StringType()),
+        StructField("batch_pages", LongType()),
+        StructField("total_pages", LongType()),
+        StructField("batches_seen", LongType()),
+        StructField("over_budget", BooleanType()),
     ]
 )
 
-STATE_SCHEMA = StructType([StructField("seen_hashes", ArrayType(LongType()))])
+BUDGET_STATE_SCHEMA = StructType(
+    [
+        StructField("total_pages", LongType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
 
 
-def _dedup_group(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    seen: set[int] = set(state.get[0]) if state.exists else set()
-    out: list[pd.DataFrame] = []
-    for pdf in pdfs:
-        fresh_mask = []
-        for h in pdf["url_hash"]:
-            h = int(h)
-            if h in seen:
-                fresh_mask.append(False)
-            else:
-                seen.add(h)
-                fresh_mask.append(True)
-        fresh = pdf[fresh_mask]
-        if len(fresh):
-            out.append(
-                pd.DataFrame(
-                    {
-                        "url": fresh["url"],
-                        "warc_ts": fresh["warc_ts"],
-                        "first_seen_batch_rows": len(fresh),
-                    }
-                )
-            )
-    state.update((list(seen),))
-    for pdf in out:
-        yield pdf
+def _budget_group(budget: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        total, batches = state.get if state.exists else (0, 0)
+        # aggregate across ALL Arrow chunks of this micro-batch before
+        # emitting — one output row per host per batch, not per chunk
+        batch_pages = sum(len(pdf) for pdf in pdfs)
+        total += batch_pages
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "batch_pages": [batch_pages],
+                "total_pages": [total],
+                "batches_seen": [batches],
+                "over_budget": [total > budget],
+            }
+        )
+
+    return fn
 
 
-def first_seen_urls(pages_stream: DataFrame, num_groups: int = 32) -> DataFrame:
-    """Streaming DataFrame of first occurrences per url (append mode)."""
+def host_crawl_budget(pages_stream: DataFrame, budget: int = 1000) -> DataFrame:
+    """Per-host running crawl totals + budget flag, one row per host per
+    micro-batch (update mode). T7 quota analog with bounded state."""
     keyed = pages_stream.select(
-        "url",
-        "warc_ts",
-        F.pmod(F.xxhash64("url"), F.lit(num_groups)).alias("grp"),
-        F.xxhash64("url").alias("url_hash"),
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host")
     )
-    return keyed.groupBy("grp").applyInPandasWithState(
-        _dedup_group,
-        outputStructType=DEDUP_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
+    return keyed.groupBy("host").applyInPandasWithState(
+        _budget_group(budget),
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -18,7 +18,7 @@ def test_stream_extracts_all_pages_with_metrics(spark, tmp_path):
         metrics_path=str(tmp_path / "metrics"),
         max_files_per_trigger=2,
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
 
     results = spark.read.parquet(str(tmp_path / "results"))
     assert results.count() == 40
@@ -41,11 +41,11 @@ def test_stream_restart_is_exactly_once(spark, tmp_path):
         max_files_per_trigger=1,
     )
     q = start_extract_stream(spark, **kwargs)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     n1 = spark.read.parquet(str(tmp_path / "results")).count()
     # restart against the same checkpoint: no new input -> no duplicates
     q2 = start_extract_stream(spark, **kwargs)
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(180)
     n2 = spark.read.parquet(str(tmp_path / "results")).count()
     assert n1 == n2 == 20
 
@@ -65,7 +65,7 @@ def test_daily_window_counts_with_watermark(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "wck"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM daily_counts").collect()
     # append mode + availableNow: windows older than the watermark emit
     assert sum(r["n_pages"] for r in rows) > 0
