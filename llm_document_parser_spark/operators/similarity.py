@@ -157,3 +157,94 @@ def embedding_near_dup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — KMeans coarse quantizer + within-cell exact rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, vec_col: str = "embedding", seed: int = 42
+) -> list[list[float]]:
+    """Train the coarse quantizer (Spark ML KMeans) and return centroids as
+    plain lists — small enough to broadcast as literal expressions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """ARRAY<INT> of the n_probe nearest centroid ids (L2), as a pure
+    column expression over broadcast centroid literals."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in c]),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for c in centroids
+    ]
+    scored = F.array(
+        *[
+            F.struct(d.alias("dist"), F.lit(i).alias("cell"))
+            for i, d in enumerate(dists)
+        ]
+    )
+    ranked = F.array_sort(scored)  # struct sort: by dist, then cell
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: s["cell"]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus rows live in their nearest cell; each query probes
+    its n_probe nearest cells; exact cosine rank within the probed cells.
+
+    Plan shape at scale: the corpus is bucketed ONCE by cell (a narrow
+    column, no shuffle until the equi-join on cell id); queries explode to
+    n_probe rows. Recall rises with n_probe; n_probe = n_cells degrades to
+    brute force."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.try_element_at(_nearest_cells(F.col(vec_col), centroids, 1), F.lit(1)).alias(
+            "cell"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )

@@ -1010,3 +1010,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8), e, planes=_ANN_PLANES, k=3
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+# ===========================================================================
+# explicit skew salting (J5) — two-phase aggregation over a skewed key
+# ===========================================================================
+
+
+@query(
+    "host_url_stats_salted",
+    """
+    SELECT user_id AS hot_key,
+           count(*) AS n,
+           count(DISTINCT event_type) AS n_distinct
+    FROM events GROUP BY user_id
+    """,
+)
+def host_url_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — salted two-phase count + salted exact distinct-count per skewed
+    key (events.user_id stands in for the hot host). The oracle is the
+    plain single-phase form: results must be identical, only the plan
+    shape differs (no hot-key reducer)."""
+    from .operators import salting
+
+    ev = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "hot_key")
+    counts = salting.salted_group_count(ev, "hot_key", "n", buckets=8)
+    distincts = salting.salted_distinct_count(
+        ev, "hot_key", "event_type", "n_distinct", buckets=8
+    )
+    return counts.join(distincts, "hot_key")
