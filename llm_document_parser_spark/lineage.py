@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,23 +48,27 @@ def completed_buckets(spark: SparkSession, lineage_path: str, job_id: str) -> se
             .collect()
         )
         return {r["bucket"] for r in rows}
-    except Exception:  # path does not exist yet → fresh job
-        return set()
+    except AnalysisException as e:
+        # Only a missing lineage table means "fresh job"; any other read
+        # failure (corrupt footer, permissions, storage blip) must surface —
+        # swallowing it would silently trigger a full recompute.
+        if "PATH_NOT_FOUND" in str(e):
+            return set()
+        raise
 
 
 def _append_lineage(
     spark: SparkSession,
     lineage_path: str,
     job_id: str,
-    buckets: list[int],
-    rows_written: int,
+    bucket_rows: dict[int, int],
     started_at: _dt.datetime,
     attempt: int,
 ) -> None:
     now = _dt.datetime.now()
     recs = [
-        (job_id, int(b), "completed", int(rows_written), started_at, now, attempt)
-        for b in buckets
+        (job_id, int(b), "completed", int(n), started_at, now, attempt)
+        for b, n in sorted(bucket_rows.items())
     ]
     spark.createDataFrame(recs, LINEAGE_SCHEMA).write.mode("append").parquet(
         lineage_path
@@ -106,13 +111,26 @@ def run_with_lineage(
         subset = bucketed.filter(F.col("bucket").isin([int(b) for b in group]))
         out = transform(subset.drop("bucket"))
         out = with_bucket(out, num_buckets)
-        n = out.count()
+        # Write FIRST, then count from the committed partitions: counting the
+        # plan before writing would execute the (pandas-UDF-dominated)
+        # extraction twice per group — 2x the whole job at the 10^12-row
+        # design point. The post-write count prunes to the group's bucket=
+        # directories and is served from parquet row-group metadata.
         (
             out.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(results_path)
         )
-        _append_lineage(spark, lineage_path, job_id, group, n, started, attempt=1)
+        counted = (
+            spark.read.parquet(results_path)
+            .filter(F.col("bucket").isin([int(b) for b in group]))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        bucket_rows = {int(b): 0 for b in group}
+        bucket_rows.update({int(r["bucket"]): int(r["count"]) for r in counted})
+        _append_lineage(spark, lineage_path, job_id, bucket_rows, started, attempt=1)
     return job_id
 
 

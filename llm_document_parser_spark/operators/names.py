@@ -43,7 +43,7 @@ def holder_names_struct(text: Column) -> Column:
     # score = max(0, 1 - pos/len) with 0-based pos; not-found -> 0
     scored = F.transform(
         filtered,
-        lambda n: F.struct(
+        lambda n, i: F.struct(
             F.when(
                 F.instr(text, n) > 0,
                 F.greatest(
@@ -54,13 +54,19 @@ def holder_names_struct(text: Column) -> Column:
             )
             .otherwise(F.lit(0.0))
             .alias("score"),
+            i.alias("idx"),
             n.alias("name"),
         ),
     )
+    # Equal scores tie-break on original position: Spark's comparator sort
+    # is not guaranteed stable, while the reference semantics (Python
+    # sorted()) are — pinning by idx makes primary_name deterministic.
     ranked = F.array_sort(
         scored,
         lambda l, r: F.when(l["score"] > r["score"], -1)
         .when(l["score"] < r["score"], 1)
+        .when(l["idx"] < r["idx"], -1)
+        .when(l["idx"] > r["idx"], 1)
         .otherwise(0),
     )
     candidates = F.transform(ranked, lambda s: s["name"])

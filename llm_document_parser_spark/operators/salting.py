@@ -5,12 +5,16 @@ AQE's skew-join splitting only fixes JOINS; skewed GROUPING keys (one hot
 host owning a large fraction of a zipfian crawl) still funnel one reducer
 unless the aggregation decomposes. Three tools:
 
-* ``with_salt``             — append ``salt = pmod(xxhash64(key), S)``
+* ``with_salt``             — append ``salt = pmod(xxhash64(src), S)``
 * ``salted_group_count``    — two-phase count: partial per (key, salt),
-                              final per key. For plain counts Spark's own
-                              partial aggregation already does this; the
-                              explicit form matters when composed with
-                              aggregates that DON'T combine partially —
+                              final per key. The salt MUST derive from a
+                              column that varies WITHIN a key (a row id,
+                              url, timestamp) — salting on the key itself
+                              is a constant per key and never splits the
+                              hot key across reducers. For plain counts
+                              Spark's own partial aggregation already does
+                              this; the explicit form matters when composed
+                              with aggregates that DON'T combine partially —
                               ``collect_set``/``collect_list`` per key.
 * ``salted_distinct_count`` — COUNT(DISTINCT x) per skewed key: distinct
                               within (key, salt) shards first (small local
@@ -33,10 +37,20 @@ def with_salt(df: DataFrame, salt_source: str | Column, buckets: int) -> DataFra
 
 
 def salted_group_count(
-    df: DataFrame, key: str, count_col: str = "n", buckets: int = 16
+    df: DataFrame,
+    key: str,
+    salt_source: str | Column,
+    count_col: str = "n",
+    buckets: int = 16,
 ) -> DataFrame:
-    """Two-phase count per key: (key, salt) partials → key totals."""
-    salted = with_salt(df, key, buckets)
+    """Two-phase count per key: (key, salt) partials → key totals.
+
+    ``salt_source`` must vary within a key (row id / url / timestamp) so a
+    hot key's rows spread across ``buckets`` reducers in phase one; any
+    assignment is *correct* (partials always sum to the total), only the
+    spread depends on it.
+    """
+    salted = with_salt(df, salt_source, buckets)
     partial = salted.groupBy(key, "salt").agg(F.count("*").alias("_pn"))
     return partial.groupBy(key).agg(F.sum("_pn").cast("long").alias(count_col))
 

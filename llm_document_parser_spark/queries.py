@@ -1034,7 +1034,9 @@ def host_url_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import salting
 
     ev = _t(spark, sf_dir, "events").withColumnRenamed("user_id", "hot_key")
-    counts = salting.salted_group_count(ev, "hot_key", "n", buckets=8)
+    counts = salting.salted_group_count(
+        ev, "hot_key", salt_source="event_id", count_col="n", buckets=8
+    )
     distincts = salting.salted_distinct_count(
         ev, "hot_key", "event_type", "n_distinct", buckets=8
     )

@@ -48,20 +48,33 @@ def start_extract_stream(
     max_files_per_trigger: int | None = 4,
 ) -> StreamingQuery:
     """readStream → extract_pipeline → parquet sink via foreachBatch, with a
-    per-micro-batch success/fail rollup (A4) appended to a metrics table.
+    per-micro-batch success/fail rollup (A4) written to a metrics table.
 
-    The checkpoint directory gives exactly-once sink semantics across
-    restarts — the streaming counterpart of lineage.run_with_lineage.
+    foreachBatch alone is at-least-once: a crash after a (partial or
+    complete) write but before the checkpoint commit replays the batch. The
+    sink is therefore made IDEMPOTENT per batch — output is partitioned by
+    ``batch_id`` and written with dynamic partition overwrite, so a replayed
+    batch replaces its own partition instead of appending duplicates
+    (the streaming counterpart of lineage.run_with_lineage's
+    bucket-partition overwrite). Checkpoint replay + idempotent re-write =
+    effective exactly-once in the committed table.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        results = extract_pipeline(batch_df)
+        results = extract_pipeline(batch_df).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
         results.persist()
         try:
-            results.write.mode("append").parquet(results_path)
+            (
+                results.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(results_path)
+            )
             if metrics_path is not None:
                 rollup = results.agg(
-                    F.lit(batch_id).alias("batch_id"),
+                    F.lit(batch_id).cast("long").alias("batch_id"),
                     F.count("*").alias("total"),
                     F.sum(F.when(F.col("success"), 1).otherwise(0))
                     .cast("long")
@@ -71,7 +84,12 @@ def start_extract_stream(
                     .alias("failed"),
                     F.current_timestamp().alias("finished_at"),
                 )
-                rollup.write.mode("append").parquet(metrics_path)
+                (
+                    rollup.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(metrics_path)
+                )
         finally:
             results.unpersist()
 

@@ -62,3 +62,57 @@ def test_rerun_completed_job_is_noop(spark, tmp_path):
     )
     assert lineage_rows == 4  # no duplicate lineage appends on no-op rerun
     assert _snapshot(spark, res) == first
+
+
+def test_transform_executes_once_per_group_and_per_bucket_rows(spark, tmp_path):
+    """The write-first lineage runner must run the (expensive) transform
+    exactly once per group — no pre-count double-compute — and record TRUE
+    per-bucket row counts that sum to the job total."""
+    from pyspark.sql.types import LongType
+
+    pages = generate_pages(spark, 40, seed=11, partitions=4)
+    calls = spark.sparkContext.accumulator(0)
+
+    def counting_udf(u):
+        calls.add(1)
+        return len(u)
+
+    count_len = F.udf(counting_udf, LongType())
+
+    def transform(df):
+        return df.select("url", count_len("url").alias("url_len"))
+
+    res = str(tmp_path / "results")
+    lin = str(tmp_path / "lineage")
+    run_with_lineage(
+        spark, pages, transform, res, lin, job_id="once", num_buckets=8
+    )
+    # one UDF call per row: the old runner's pre-write .count() made this 2x
+    assert calls.value == 40
+
+    lineage = spark.read.parquet(lin).filter(F.col("job_id") == "once")
+    got = {r["bucket"]: r["rows"] for r in lineage.collect()}
+    actual = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(res).groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(got.values()) == 40
+    for b, n in actual.items():
+        assert got[b] == n, f"bucket {b}"
+
+
+def test_completed_buckets_propagates_non_missing_errors(spark, tmp_path):
+    """A corrupt lineage table must raise, not masquerade as a fresh job."""
+    from pyspark.errors import AnalysisException
+
+    from llm_document_parser_spark.lineage import completed_buckets
+
+    missing = str(tmp_path / "never_written")
+    assert completed_buckets(spark, missing, "j") == set()
+
+    corrupt = tmp_path / "corrupt_lineage"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        completed_buckets(spark, str(corrupt), "j")
+    assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)

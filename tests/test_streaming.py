@@ -70,3 +70,44 @@ def test_daily_window_counts_with_watermark(spark, tmp_path):
     # append mode + availableNow: windows older than the watermark emit
     assert sum(r["n_pages"] for r in rows) > 0
     assert all(r["n_pages"] >= 1 for r in rows)
+
+
+def test_stream_midbatch_replay_does_not_duplicate(spark, tmp_path):
+    """at-least-once replay simulation: drop the final checkpoint commit so
+    the restarted stream re-executes that micro-batch. The batch_id-partition
+    overwrite sink must replace, not append."""
+    import pathlib
+
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 20, seed=21, partitions=2).write.parquet(pages_path)
+    kwargs = dict(
+        pages_path=pages_path,
+        results_path=str(tmp_path / "results"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        metrics_path=str(tmp_path / "metrics"),
+        max_files_per_trigger=1,
+    )
+    q = start_extract_stream(spark, **kwargs)
+    assert q.awaitTermination(180)
+    n1 = spark.read.parquet(str(tmp_path / "results")).count()
+    assert n1 == 20
+
+    # simulate a crash after the sink write but before the checkpoint commit
+    commits_dir = pathlib.Path(str(tmp_path / "ckpt")) / "commits"
+    commits = sorted(p for p in commits_dir.iterdir() if not p.name.startswith("."))
+    last = commits[-1]
+    crc = commits_dir / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()  # ChecksumFs sidecar — a stale .crc breaks the re-commit rename
+    last.unlink()
+
+    q2 = start_extract_stream(spark, **kwargs)
+    assert q2.awaitTermination(180)
+    results = spark.read.parquet(str(tmp_path / "results"))
+    assert results.count() == 20  # replayed batch replaced its partition
+    assert results.select("url").distinct().count() == 20
+
+    metrics = spark.read.parquet(str(tmp_path / "metrics"))
+    per_batch = metrics.groupBy("batch_id").count().collect()
+    assert all(r["count"] == 1 for r in per_batch)  # no duplicate metric rows
+    assert sum(r["total"] for r in metrics.collect()) == 20
