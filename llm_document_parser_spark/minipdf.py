@@ -8,12 +8,15 @@ deterministic layout parser for the class of PDFs the synthetic generator
 emits: single-font, uncompressed content streams using ``BT/ET`` text objects
 with ``Tj``/``TJ``/``'`` show operators and ``Td``/``TD``/``T*`` line moves.
 
-If a payload uses features outside this subset (compressed streams, CID fonts)
-the extractor returns "" and the pipeline marks the row ``success=false`` —
-the same degrade-to-empty behavior as the reference's exception path
-(reference: src/document_parser.py:157-159). A real deployment would swap
-``extract_pdf_text`` for pdfminer.six / pdfplumber inside the same pandas UDF;
-the import is gated below.
+When pdfplumber IS installed, ``extract_pdf_text`` dispatches to it
+(mirroring the reference's page loop exactly, reference:
+src/document_parser.py:148-159) — so real-world Flate-compressed PDFs
+extract instead of degrading. Without it, payloads outside the built-in
+subset (compressed streams, CID fonts) return "" and the pipeline marks the
+row ``success=false`` — the same degrade-to-empty behavior as the
+reference's exception path (reference: src/document_parser.py:157-159).
+The dispatch reads module globals at call time so the seam is testable with
+a monkeypatched fake module (tests/test_real_library_gates.py).
 """
 
 from __future__ import annotations
@@ -169,14 +172,38 @@ def _extract_stream_text(stream: bytes) -> str:
     return "".join(parts)
 
 
+def _extract_pdf_text_pdfplumber(payload: bytes) -> str:
+    """Real-library path (reference: src/document_parser.py:148-159): open
+    the document, concatenate every page's non-empty text with a trailing
+    newline; any library error degrades to "" like the reference's except
+    branch (:157-159)."""
+    import io
+
+    try:
+        with pdfplumber.open(io.BytesIO(payload)) as pdf:
+            text = ""
+            for page in pdf.pages:
+                page_text = page.extract_text()
+                if page_text:
+                    text += page_text + "\n"
+            return text
+    except Exception:
+        return ""
+
+
 def extract_pdf_text(payload: bytes) -> str:
     """Extract text from a PDF payload.
 
     Mirrors the reference's page loop (reference: src/document_parser.py:150-156):
-    every page with text contributes ``page_text + '\\n'``.
+    every page with text contributes ``page_text + '\\n'``. Dispatches to
+    pdfplumber when installed (checked at call time so executors and tests
+    resolve the gate themselves); otherwise uses the built-in deterministic
+    subset extractor.
     """
     if not payload or not payload.startswith(b"%PDF-"):
         return ""
+    if HAS_PDFPLUMBER:
+        return _extract_pdf_text_pdfplumber(payload)
     text = ""
     for m in _STREAM_RE.finditer(payload):
         page_text = _extract_stream_text(m.group(1))

@@ -30,9 +30,26 @@ from .operators.extract_udfs import payload_text_udf
 from .operators.features import features_struct
 from .operators.kind import doc_kind_col, document_type_col
 from .operators.names import holder_names_struct
-from .operators.ner import entities_map
+from .operators.ner import HAS_SPACY, entities_map, spacy_entities_stage
 from .operators.patterns import patterns_map
 from .operators.textclean import clean_text_col
+
+RESULT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "doc_kind",
+    "document_type",
+    "extracted_text",
+    "text_spans",
+    "patterns",
+    "contacts",
+    "names",
+    "entities",
+    "features",
+    "success",
+    "error",
+    "processing_time",
+]
 
 
 def text_spans_col(text: Column, patterns: Column) -> Column:
@@ -63,6 +80,8 @@ def extract_pipeline(
     pages: DataFrame,
     repartition_to: int | None = None,
     doc_type_col_fn=document_type_col,
+    use_spacy_ner: bool | None = None,
+    nlp_factory=None,
 ) -> DataFrame:
     """Build the full extraction plan over a pages DataFrame.
 
@@ -71,7 +90,17 @@ def extract_pipeline(
     (AQE still balances downstream shuffles). The repartition key is
     ``xxhash64(url)`` so hot hosts (zipfian skew) spread uniformly — the
     moral equivalent of salting the host key (SURVEY.md §4.2 item 2).
+
+    ``use_spacy_ner``: None = auto (real spaCy NER when the library is
+    installed, rule-NER otherwise). The spaCy path adds a second Python
+    stage AFTER the final projection — it sees only result columns, never
+    the binary payload. Pattern backfill and feature person/org counts stay
+    rule-based either way (they're part of the native codegen span).
+    ``nlp_factory`` (executor-side model loader) implies the spaCy path and
+    is how tests drive the seam without the library.
     """
+    if use_spacy_ner is None:
+        use_spacy_ner = HAS_SPACY or nlp_factory is not None
     df = pages.withColumn("doc_kind", doc_kind_col(F.col("html")))
     if repartition_to:
         df = df.repartition(repartition_to, F.xxhash64("url"))
@@ -85,7 +114,6 @@ def extract_pipeline(
     df = (
         df.withColumn("contacts", contacts_map(text))
         .withColumn("names", holder_names_struct(text))
-        .withColumn("entities", entities_map(text))
         .withColumn("features", features_struct(text))
         .withColumn("text_spans", text_spans_col(text, F.col("patterns")))
         .withColumn("success", F.length(text) > 0)
@@ -98,19 +126,11 @@ def extract_pipeline(
         )
         .withColumn("processing_time", F.current_timestamp())
     )
-    return df.select(
-        "url",
-        "warc_ts",
-        "doc_kind",
-        "document_type",
-        "extracted_text",
-        "text_spans",
-        "patterns",
-        "contacts",
-        "names",
-        "entities",
-        "features",
-        "success",
-        "error",
-        "processing_time",
-    )
+    if use_spacy_ner:
+        df = df.select([c for c in RESULT_COLUMNS if c != "entities"])
+        df = spacy_entities_stage(
+            df, text_col="extracted_text", out_col="entities", nlp_factory=nlp_factory
+        )
+    else:
+        df = df.withColumn("entities", entities_map(text))
+    return df.select(*RESULT_COLUMNS)

@@ -1,0 +1,174 @@
+"""The real-library seams: pdfplumber dispatch and the spaCy NER stage.
+
+Neither library is installable in this environment, so these tests drive
+the SEAMS with fakes — the dispatch logic, the batch plumbing, the column
+contract — not the libraries themselves (reference behavior being mirrored:
+src/document_parser.py:148-159 for pdfplumber, :443-460 for spaCy).
+
+Everything shipped to executors is defined inside the test functions so
+cloudpickle serializes it by value (no importable test module needed on
+Python workers).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_document_parser_spark import minipdf
+from llm_document_parser_spark.datagen import generate_pages
+from llm_document_parser_spark.operators.ner import ENTITY_LABELS, spacy_entities_stage
+from llm_document_parser_spark.pipeline import RESULT_COLUMNS, extract_pipeline
+
+# ------------------------------------------------------------- pdfplumber
+
+
+class _FakePage:
+    def __init__(self, text):
+        self._text = text
+
+    def extract_text(self):
+        return self._text
+
+
+class _FakePdf:
+    def __init__(self, pages):
+        self.pages = pages
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakePdfplumber:
+    """Stands in for the pdfplumber module: open(fileobj) -> context mgr."""
+
+    def __init__(self, pages=None, raise_on_open=False):
+        self._pages = pages or []
+        self._raise = raise_on_open
+        self.opened_with = None
+
+    def open(self, fileobj):
+        if self._raise:
+            raise ValueError("not a pdf I can read")
+        self.opened_with = fileobj.read()
+        return _FakePdf([_FakePage(t) for t in self._pages])
+
+
+COMPRESSED_STYLE_PDF = (
+    b"%PDF-1.7\n1 0 obj\n<< /Filter /FlateDecode /Length 20 >>\n"
+    b"stream\n\x78\x9c\x0b\x49\xad(\x01\x00\x04]\x01\xc1\nendstream\nendobj\n"
+)
+
+
+def test_builtin_extractor_degrades_on_compressed_pdf():
+    assert not minipdf.HAS_PDFPLUMBER  # environment precondition
+    assert minipdf.extract_pdf_text(COMPRESSED_STYLE_PDF) == ""
+
+
+def test_pdfplumber_dispatch_when_installed(monkeypatch):
+    fake = _FakePdfplumber(pages=["PAGE ONE", None, "PAGE TWO"])
+    monkeypatch.setattr(minipdf, "pdfplumber", fake)
+    monkeypatch.setattr(minipdf, "HAS_PDFPLUMBER", True)
+    # page loop contract (reference :150-156): non-empty pages + '\n' each
+    assert minipdf.extract_pdf_text(COMPRESSED_STYLE_PDF) == "PAGE ONE\nPAGE TWO\n"
+    assert fake.opened_with == COMPRESSED_STYLE_PDF
+
+
+def test_pdfplumber_error_degrades_to_empty(monkeypatch):
+    monkeypatch.setattr(minipdf, "pdfplumber", _FakePdfplumber(raise_on_open=True))
+    monkeypatch.setattr(minipdf, "HAS_PDFPLUMBER", True)
+    assert minipdf.extract_pdf_text(COMPRESSED_STYLE_PDF) == ""
+
+
+def test_non_pdf_rejected_before_dispatch(monkeypatch):
+    fake = _FakePdfplumber(pages=["SHOULD NOT APPEAR"])
+    monkeypatch.setattr(minipdf, "pdfplumber", fake)
+    monkeypatch.setattr(minipdf, "HAS_PDFPLUMBER", True)
+    assert minipdf.extract_pdf_text(b"not a pdf") == ""
+    assert fake.opened_with is None
+
+
+# ------------------------------------------------------------------ spaCy
+
+
+def _make_fake_nlp_factory():
+    """Build an executor-side fake nlp factory: tokens shaped LABEL_word
+    become entities of that label; everything else is ignored. The returned
+    factory is a NESTED function so cloudpickle ships it by value — Python
+    workers can't import this test module."""
+
+    def factory():
+        from types import SimpleNamespace
+
+        known = {"PERSON", "ORG", "GPE", "DATE", "MONEY", "PRODUCT", "NORP"}
+
+        def pipe(texts, batch_size=64):
+            for t in texts:
+                ents = []
+                for tok in t.split():
+                    label = tok.split("_")[0]
+                    if "_" in tok and label in known:
+                        ents.append(SimpleNamespace(label_=label, text=tok))
+                yield SimpleNamespace(ents=ents)
+
+        return SimpleNamespace(pipe=pipe)
+
+    return factory
+
+
+def test_spacy_stage_contract(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "PERSON_Alice met PERSON_Bob and PERSON_Alice in GPE_Paris"),
+            ("b", "MONEY_5 NORP_french plain words"),  # NORP not in contract -> dropped
+            ("c", ""),
+        ],
+        "url string, extracted_text string",
+    )
+    out = spacy_entities_stage(df, nlp_factory=_make_fake_nlp_factory())
+    rows = {r["url"]: r["entities"] for r in out.collect()}
+
+    for ents in rows.values():
+        assert set(ents) == set(ENTITY_LABELS)  # all six keys always present
+    # order-preserving dedup (reference :455-458)
+    assert rows["a"]["PERSON"] == ["PERSON_Alice", "PERSON_Bob"]
+    assert rows["a"]["GPE"] == ["GPE_Paris"]
+    assert rows["b"]["MONEY"] == ["MONEY_5"]
+    assert all(rows["b"][k] == [] for k in ENTITY_LABELS if k != "MONEY")
+    assert all(rows["c"][k] == [] for k in ENTITY_LABELS)
+
+
+def test_spacy_stage_requires_library_or_factory(spark):
+    df = spark.createDataFrame([("a", "x")], "url string, extracted_text string")
+    with pytest.raises(RuntimeError, match="spaCy is not installed"):
+        spacy_entities_stage(df)
+
+
+def test_pipeline_selects_spacy_stage(spark):
+    pages = generate_pages(spark, 12, seed=31, partitions=2)
+    out = extract_pipeline(pages, use_spacy_ner=True, nlp_factory=_make_fake_nlp_factory())
+    assert out.columns == RESULT_COLUMNS  # schema identical to the rule path
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert set(r["entities"].keys()) == set(ENTITY_LABELS)
+
+
+def test_pipeline_defaults_to_rule_ner_without_spacy(spark, tmp_path):
+    import contextlib
+    import io
+
+    # materialize pages first — generate_pages itself is a mapInPandas stage
+    # and would pollute the plan-shape assertion
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, 6, seed=33, partitions=1).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_pipeline(pages).explain(mode="simple")
+    plan = buf.getvalue()
+    # without spaCy installed the plan must stay single-Python-stage
+    assert plan.count("ArrowEvalPython") == 1
+    assert "MapInPandas" not in plan
