@@ -147,8 +147,10 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs (id_a < id_b) with cosine ≥ threshold. Exact; bound the input
-    (or pre-bucket with hyperplane_sketch) before using at scale."""
+    """Pairs (id_a < id_b) with cosine ≥ threshold — EXACT all-pairs,
+    O(n²): a VERIFICATION tier for bounded inputs only (recall ground truth
+    for the banded variant). The production path at scale is
+    ``embedding_near_dup_pairs_banded`` below."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -156,6 +158,51 @@ def embedding_near_dup_pairs(
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+    )
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    threshold: float,
+    plane_bands: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production embedding near-dup: banded hyperplane LSH (the MinHash-LSH
+    OR-of-ANDs geometry applied to cosine sketches).
+
+    Candidates must agree on ALL plane signs within at least one band;
+    each band contributes a (band, bucket) equi-join — no cross product
+    anywhere, so the plan survives 10^12 rows the same way
+    minhash_near_dup_pairs does (operators/dedup.py). Exact cosine then
+    filters candidates to ≥ threshold; a pair matching in several bands is
+    deduped after the (cheap, post-filter) distinct.
+
+    Recall: P[pair surfaces] = 1 - (1 - s^r)^b for sign-agreement rate s,
+    r planes/band, b bands — identical copies (s=1) always surface, which is
+    the near-dup contract; tune r/b for looser thresholds.
+    """
+    sketches = F.array(
+        *[hyperplane_sketch(F.col(vec_col), band) for band in plane_bands]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(sketches).alias("band", "bucket"),
+    )
+    a = keyed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "band", "bucket"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+        .distinct()
     )
 
 

@@ -967,6 +967,10 @@ def _lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
 
 _ANN_PLANES = _lcg_planes(4, 64)
 
+# two independent 4-plane bands for the banded near-dup path (the LCG is a
+# single stream: planes 0-3 == _ANN_PLANES, planes 4-7 are fresh)
+_NEARDUP_BANDS = [_lcg_planes(8, 64)[:4], _lcg_planes(8, 64)[4:]]
+
 
 def _plane_sql(vec: str, plane: list[float]) -> str:
     lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in plane)
@@ -976,9 +980,10 @@ def _plane_sql(vec: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, planes: list[list[float]] | None = None) -> str:
     terms = [
-        f"{_plane_sql(vec, plane)} * {2 ** i}" for i, plane in enumerate(_ANN_PLANES)
+        f"{_plane_sql(vec, plane)} * {2 ** i}"
+        for i, plane in enumerate(planes if planes is not None else _ANN_PLANES)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -1010,6 +1015,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 8), e, planes=_ANN_PLANES, k=3
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+def _neardup_band_branch_sql(band: list[list[float]]) -> str:
+    return f"""
+      SELECT id_a, id_b, {_COSINE_SQL} AS score
+      FROM (SELECT vec_id AS id_a, embedding AS qv,
+                   {_bucket_sql('embedding', band)} AS bucket FROM nd_base) x
+      JOIN (SELECT vec_id AS id_b, embedding AS cv,
+                   {_bucket_sql('embedding', band)} AS bucket FROM nd_base) y
+      USING (bucket)
+      WHERE id_a < id_b"""
+
+
+@query(
+    "embedding_near_dups_banded",
+    f"""
+    WITH nd_base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10),
+    s AS ({_neardup_band_branch_sql(_NEARDUP_BANDS[0])}
+          UNION
+          {_neardup_band_branch_sql(_NEARDUP_BANDS[1])})
+    SELECT id_a, id_b, score FROM s WHERE score >= 0.99
+    """,
+)
+def embedding_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production embedding near-dup path: banded hyperplane-LSH candidate
+    generation (per-band bucket equi-joins, pair surfaces if ALL signs agree
+    in ≥1 band) + exact cosine threshold. Same planted-duplicate base as the
+    all-pairs verification query — identical copies always agree in every
+    band, so at this threshold the two queries return identical pairs while
+    this plan has no cross product."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = (
+        e.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return similarity.embedding_near_dup_pairs_banded(
+        base, threshold=0.99, plane_bands=_NEARDUP_BANDS
+    )
 
 
 # ===========================================================================

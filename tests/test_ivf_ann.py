@@ -43,3 +43,31 @@ def test_ivf_full_probe_degrades_to_exact(spark, corpus):
     got = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf.collect())
     want = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect())
     assert got == want
+
+
+def test_banded_near_dup_matches_exact_on_planted_dups(spark):
+    """At threshold 0.99 over the planted-copy base, the banded-LSH
+    production path must find exactly the all-pairs verification tier's
+    pairs (identical vectors agree in every band), with no cross product
+    in the plan."""
+    import contextlib
+    import io
+
+    from llm_document_parser_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in REGISTRY["embedding_near_dups"](spark, sf).collect()
+    }
+    banded_df = REGISTRY["embedding_near_dups_banded"](spark, sf)
+    banded = {(r["id_a"], r["id_b"], r["score"]) for r in banded_df.collect()}
+    assert banded == exact
+    assert len(banded) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded_df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
