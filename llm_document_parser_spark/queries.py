@@ -768,9 +768,67 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query("extract_docs_as_pages")
+# The clean chain in portable SQL (reference: src/document_parser.py:380-400
+# re-expressed; see operators/textclean.py for the Spark form). Built
+# programmatically — hand-nesting 10 calls is how paren bugs happen.
+def _clean_sql(raw: str) -> str:
+    expr = f"coalesce({raw}, '')"
+    for pat, rep in (
+        (r"Page\s+\d+\s+of\s+\d+", ""),
+        ("Confidential|Proprietary", ""),
+        (r"\s+", " "),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for a, b in (("�", ""), ('""', '"'), ('""', '"'),
+                 ("''", "'"), ("''", "'"), ("–", "-"), ("—", "-")):
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        expr = f"replace({expr}, '{qa}', '{qb}')"
+    return f"trim({expr})"
+
+_DOC_KIND_SQL = """
+    CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+         WHEN starts_with(text, '%PDF-') THEN 'pdf'
+         WHEN regexp_matches(substr(text, 1, 1024),
+              '(?i)<!doctype\\s+html|<html[\\s>]|<head[\\s>]|<body[\\s>]') THEN 'html'
+         ELSE 'text' END
+"""
+
+_DOC_TYPE_SQL = """
+    CASE WHEN contains(lower(cleaned), 'invoice') THEN 'invoice'
+         WHEN contains(lower(cleaned), 'receipt') THEN 'receipt'
+         WHEN contains(lower(cleaned), 'contract') THEN 'contract'
+         WHEN contains(lower(cleaned), 'contact:') THEN 'contact'
+         ELSE 'general' END
+"""
+
+
+@query(
+    "extract_docs_as_pages",
+    f"""
+    WITH kinded AS (
+      SELECT 'doc://' || doc_id AS url, text, {_DOC_KIND_SQL} AS doc_kind
+      FROM documents),
+    cleaned_t AS (
+      SELECT url, doc_kind,
+             {_clean_sql("CASE WHEN doc_kind = 'text' THEN text ELSE '' END")} AS cleaned
+      FROM kinded)
+    SELECT url, doc_kind, {_DOC_TYPE_SQL} AS document_type,
+           CAST(length(cleaned) AS BIGINT) AS text_len,
+           length(cleaned) > 0 AS success
+    FROM cleaned_t
+    """,
+)
 def extract_docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full extraction pipeline over sf documents treated as text payloads."""
+    """Full extraction pipeline over sf documents treated as text payloads.
+
+    The projected columns (doc_kind sniff, heuristic type, cleaned length,
+    success) are all RE2-expressible for TEXT payloads, so this query gets a
+    real DuckDB oracle; the lookahead-bearing pattern/contact fields stay
+    pytest-side (tests/test_extraction.py byte-parity, tests/
+    test_golden_exports.py reference goldens). The oracle hard-codes the
+    text-kind extraction identity (payload == text) — valid because the
+    documents table is plain text; a pdf/html-sniffing row would mismatch
+    loudly, not silently."""
     d = _t(spark, sf_dir, "documents")
     pages = d.select(
         F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
