@@ -98,21 +98,150 @@ def with_predicted_type(model: PipelineModel, df: DataFrame) -> DataFrame:
     )
 
 
+def classification_report(
+    scored: DataFrame,
+    true_col: str = "document_type",
+    pred_col: str = "predicted_type",
+) -> dict:
+    """M5 — per-class precision/recall/F1/support + macro/weighted averages,
+    the sklearn ``classification_report`` the reference logs after training
+    (reference: src/document_parser.py:644-647), computed from ONE
+    distributed confusion aggregation (the collected matrix is |classes|²,
+    driver-safe by construction)."""
+    counts = scored.groupBy(true_col, pred_col).agg(F.count("*").alias("n")).collect()
+    classes = sorted({r[true_col] for r in counts} | {r[pred_col] for r in counts})
+    tp = {c: 0 for c in classes}
+    true_tot = {c: 0 for c in classes}
+    pred_tot = {c: 0 for c in classes}
+    total = 0
+    for r in counts:
+        n = r["n"]
+        total += n
+        true_tot[r[true_col]] += n
+        pred_tot[r[pred_col]] += n
+        if r[true_col] == r[pred_col]:
+            tp[r[true_col]] += n
+
+    def _prf(c: str) -> dict:
+        p = tp[c] / pred_tot[c] if pred_tot[c] else 0.0
+        r_ = tp[c] / true_tot[c] if true_tot[c] else 0.0
+        f1 = 2 * p * r_ / (p + r_) if (p + r_) else 0.0
+        return {
+            "precision": round(p, 4),
+            "recall": round(r_, 4),
+            "f1": round(f1, 4),
+            "support": true_tot[c],
+        }
+
+    report = {c: _prf(c) for c in classes}
+    present = [c for c in classes if true_tot[c]]
+    macro = {
+        m: round(sum(report[c][m] for c in present) / len(present), 4)
+        for m in ("precision", "recall", "f1")
+    }
+    weighted = {
+        m: round(
+            sum(report[c][m] * report[c]["support"] for c in present) / total, 4
+        )
+        for m in ("precision", "recall", "f1")
+    }
+    report["macro avg"] = {**macro, "support": total}
+    report["weighted avg"] = {**weighted, "support": total}
+    report["accuracy"] = round(sum(tp.values()) / total, 4) if total else 0.0
+    return report
+
+
 def evaluate(model: PipelineModel, test_df: DataFrame) -> dict:
-    """M5/A5 — accuracy + confusion counts (reference: evaluate_model,
-    src/document_parser.py:815-857)."""
+    """M5/A5 — accuracy + confusion counts + full classification report
+    (reference: evaluate_model src/document_parser.py:815-857, report
+    :644-647)."""
     scored = with_predicted_type(model, test_df)
-    evaluator = MulticlassClassificationEvaluator(
-        labelCol="label", predictionCol="prediction", metricName="accuracy"
-    )
-    accuracy = evaluator.evaluate(model.transform(test_df))
-    confusion = (
-        scored.groupBy("document_type", "predicted_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
+    scored.persist()
+    try:
+        evaluator = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        )
+        accuracy = evaluator.evaluate(scored)
+        confusion = (
+            scored.groupBy("document_type", "predicted_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        report = classification_report(scored)
+    finally:
+        scored.unpersist()
     return {
         "accuracy": round(accuracy * 100, 2),
+        "confusion": {
+            f"{r['document_type']}_{r['predicted_type']}": r["n"] for r in confusion
+        },
+        "report": report,
+    }
+
+
+# deliberate cross-labels in the reference's golden set (invoice_04-08 are
+# truly receipts, etc. — scripts/test_model_accuracy.py:19-25,55-56): every
+# CROSS_EVERY-th doc carries a true label that disagrees with its text
+CROSS_EVERY = 10
+_CROSS_LABEL = {
+    "invoice": "receipt",
+    "receipt": "invoice",
+    "contract": "invoice",
+    "contact": "contract",
+}
+
+
+def golden_label_set(spark, n: int = 80, seed: int = 7) -> DataFrame:
+    """M8-adjacent eval harness — a seeded synthetic golden set with the
+    reference's shape (scripts/test_model_accuracy.py:10-97): ~80 docs of
+    invoice/receipt/contract/contact text, a fraction deliberately
+    cross-labeled so a perfect text classifier CANNOT reach 100% — the
+    reference reports 85% on its set (data_visualisation.py:5-19).
+
+    Driver-side construction is correct here: a golden set is a small
+    curated artifact (the reference hard-codes every path)."""
+    import random
+
+    from ..datagen import _BODY_FNS
+
+    cycle = ["invoice", "receipt", "contract", "contact"]
+    rows = []
+    for i in range(n):
+        nominal = cycle[i % len(cycle)]
+        rng = random.Random(seed * 1_000_003 + i)
+        text = _BODY_FNS[nominal](rng, i).replace("\n", " ")
+        true = nominal
+        if i % CROSS_EVERY == CROSS_EVERY - 1:
+            true = _CROSS_LABEL.get(nominal, nominal)
+        rows.append((f"golden_{i:03d}", text, true, nominal != true))
+    return spark.createDataFrame(
+        rows, "doc_id string, text string, document_type string, cross_labeled boolean"
+    )
+
+
+def golden_eval(model: PipelineModel, golden_df: DataFrame) -> dict:
+    """Evaluate against golden labels by STRING comparison (no dependence on
+    the model's label indexing): accuracy + per-class P/R/F1 + confusion."""
+    scored = with_predicted_type(model, golden_df)
+    scored.persist()
+    try:
+        total = scored.count()
+        correct = scored.filter(
+            F.col("predicted_type") == F.col("document_type")
+        ).count()
+        report = classification_report(scored)
+        confusion = (
+            scored.groupBy("document_type", "predicted_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    finally:
+        scored.unpersist()
+    return {
+        "total_documents": total,
+        "correct_predictions": correct,
+        "accuracy": round(correct / total * 100, 2) if total else 0.0,
+        "report": report,
         "confusion": {
             f"{r['document_type']}_{r['predicted_type']}": r["n"] for r in confusion
         },

@@ -54,3 +54,53 @@ def test_model_roundtrip(training_df, tmp_path):
     a = with_predicted_type(model, train.limit(20)).select("predicted_type").collect()
     b = with_predicted_type(loaded, train.limit(20)).select("predicted_type").collect()
     assert a == b
+
+
+def test_classification_report_math(spark):
+    """Pin the P/R/F1 math on a hand-computable confusion."""
+    from llm_document_parser_spark.ml.classify import classification_report
+
+    # truth:  a a a a b b c
+    # pred:   a a b a b a c
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "a"), ("c", "c")]
+    df = spark.createDataFrame(rows, "document_type string, predicted_type string")
+    rep = classification_report(df)
+    # a: tp=3, pred a=4, true a=4 -> p=0.75 r=0.75 f1=0.75
+    assert rep["a"] == {"precision": 0.75, "recall": 0.75, "f1": 0.75, "support": 4}
+    # b: tp=1, pred b=2, true b=2 -> p=0.5 r=0.5 f1=0.5
+    assert rep["b"] == {"precision": 0.5, "recall": 0.5, "f1": 0.5, "support": 2}
+    assert rep["c"] == {"precision": 1.0, "recall": 1.0, "f1": 1.0, "support": 1}
+    assert rep["accuracy"] == round(5 / 7, 4)
+    assert rep["macro avg"]["precision"] == 0.75
+    assert rep["macro avg"]["support"] == 7
+    # weighted: (0.75*4 + 0.5*2 + 1*1)/7
+    assert rep["weighted avg"]["f1"] == round((0.75 * 4 + 0.5 * 2 + 1.0) / 7, 4)
+
+
+def test_golden_label_eval(spark, training_df):
+    """The reference's golden-set harness shape: ~80 docs with deliberate
+    cross-labels cap accuracy strictly below 100 (the reference measures 85%
+    on its own set); per-class metrics must reflect the planted confusion."""
+    from llm_document_parser_spark.ml.classify import (
+        CROSS_EVERY,
+        golden_eval,
+        golden_label_set,
+        train_classifier,
+    )
+
+    golden = golden_label_set(spark, n=80, seed=7)
+    n_cross = golden.filter("cross_labeled").count()
+    assert n_cross == 80 // CROSS_EVERY
+
+    train, _ = stratified_split(training_df)
+    model = train_classifier(train, num_trees=20)
+    metrics = golden_eval(model, golden)
+    assert metrics["total_documents"] == 80
+    # a good classifier gets everything except (at most) the cross-labels;
+    # the cross-labels are unreachable by construction
+    assert metrics["accuracy"] <= 100.0 * (80 - n_cross) / 80
+    assert metrics["accuracy"] >= 80.0, metrics
+    rep = metrics["report"]
+    for cls in ("invoice", "receipt", "contract", "contact"):
+        assert cls in rep and rep[cls]["support"] > 0
+    assert 0 < rep["accuracy"] <= (80 - n_cross) / 80
