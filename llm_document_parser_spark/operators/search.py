@@ -19,11 +19,104 @@ plans (reference: src/search_engine.py).
 from __future__ import annotations
 
 import datetime
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_PER_PAGE = 100  # reference: src/config.py:32-33 clamp
+
+# Mongo's text index applies english stopwords + stemming; the engine's
+# deterministic spec drops a fixed stopword list and skips stemming (a
+# stemmer is not portably reproducible across engines — documented deviation)
+STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "that", "the", "to", "was",
+    "were", "will", "with",
+)
+
+
+def tokenize_col(text: Column) -> Column:
+    """ARRAY<STRING>: lowercase alphanumeric tokens minus stopwords — the
+    engine's text-index analyzer (reference text index:
+    src/search_engine.py:50-54)."""
+    toks = F.split(F.lower(text), r"[^a-z0-9]+")
+    return F.filter(
+        toks, lambda t: (F.length(t) > 0) & ~t.isin(*STOPWORDS)
+    )
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Driver-side twin of tokenize_col for the (tiny) query string;
+    preserves first-occurrence order, dedups."""
+    toks = [t for t in re.split(r"[^a-z0-9]+", q.lower()) if t and t not in STOPWORDS]
+    return list(dict.fromkeys(toks))
+
+
+def build_token_index(
+    df: DataFrame, id_col: str = "url", text_col: str = "extracted_text"
+) -> DataFrame:
+    """O2 — the inverted token index: (token, doc_id, tf) posting rows.
+
+    The Spark-native analog of Mongo's text_search_index (reference:
+    src/search_engine.py:50-54): explode tokens → one groupBy. At corpus
+    scale this table is materialized once and written partitioned/bucketed
+    by token, so a query's `token IN (...)` filter prunes to the handful of
+    posting partitions it touches instead of scanning documents."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize_col(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def quick_search(
+    results: DataFrame,
+    query: str,
+    limit: int = 10,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    index: DataFrame | None = None,
+    snippet_chars: int = 100,
+) -> DataFrame:
+    """O2 — quick_search (reference: src/search_engine.py:365-410): OR-match
+    the query terms against the token index, score = Σ tf over matched terms
+    (the textScore analog), top-``limit`` with deterministic url tie-break,
+    then a broadcast join back to the corpus for display fields.
+
+    Pass a pre-built ``index`` in production; building it inline is the
+    small-corpus convenience path."""
+    if index is None:
+        index = build_token_index(results, id_col=id_col, text_col=text_col)
+    terms = tokenize_query(query)
+    if not terms:
+        terms = ["--no-terms--"]  # tokens are [a-z0-9]+, can never equal this
+    scored = (
+        index.filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    snippet = F.when(
+        F.length(text_col) > snippet_chars,
+        F.concat(F.substring(text_col, 1, snippet_chars), F.lit("...")),
+    ).otherwise(F.col(text_col))
+    display = results.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("document_type"),
+        snippet.alias("text_snippet"),
+    )
+    return (
+        display.join(F.broadcast(top), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "document_type", "text_snippet", "score", "n_terms_matched")
+    )
 
 
 def build_search_filter(
@@ -36,9 +129,8 @@ def build_search_filter(
     """F5 — compose the reference's $match stages into one predicate."""
     pred = F.lit(True)
     if text_query:
-        # text index analog: substring match over extracted text (the
-        # engine-side equivalent of Mongo's $text; a real deployment would
-        # add an inverted-index table)
+        # inline substring predicate for COMBINED filters (type/date + text);
+        # pure relevance search goes through build_token_index/quick_search
         pred = pred & F.lower(F.col("extracted_text")).contains(text_query.lower())
     if document_types and document_types != ["all"]:
         pred = pred & F.col("document_type").isin(document_types)

@@ -793,13 +793,17 @@ _DOC_KIND_SQL = """
          ELSE 'text' END
 """
 
-_DOC_TYPE_SQL = """
-    CASE WHEN contains(lower(cleaned), 'invoice') THEN 'invoice'
-         WHEN contains(lower(cleaned), 'receipt') THEN 'receipt'
-         WHEN contains(lower(cleaned), 'contract') THEN 'contract'
-         WHEN contains(lower(cleaned), 'contact:') THEN 'contact'
+def _doc_type_sql(col: str) -> str:
+    return f"""
+    CASE WHEN contains(lower({col}), 'invoice') THEN 'invoice'
+         WHEN contains(lower({col}), 'receipt') THEN 'receipt'
+         WHEN contains(lower({col}), 'contract') THEN 'contract'
+         WHEN contains(lower({col}), 'contact:') THEN 'contact'
          ELSE 'general' END
 """
+
+
+_DOC_TYPE_SQL = _doc_type_sql("cleaned")
 
 
 @query(
@@ -862,6 +866,58 @@ def extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("success"), 1).otherwise(0)).cast("long").alias("n_success"),
         )
     )
+
+
+# ===========================================================================
+# O2 — text relevance search over an inverted token index
+# ===========================================================================
+
+from .operators.search import STOPWORDS as _QS_STOPWORDS  # noqa: E402
+
+_QS_TERMS = ("spark", "hash", "shuffle")
+_QS_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _QS_STOPWORDS)
+
+
+@query(
+    "quick_search_top10",
+    f"""
+    WITH toks AS (
+      SELECT 'doc://' || doc_id AS doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      WHERE length(t) > 0 AND t NOT IN ({_QS_STOPWORDS_SQL})),
+    idx AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY token, doc_id),
+    m AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM idx WHERE token IN ({", ".join(f"'{t}'" for t in _QS_TERMS)})
+      GROUP BY doc_id),
+    r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM m)
+    SELECT r.doc_id, {_doc_type_sql('d.text')} AS document_type,
+           CASE WHEN length(d.text) > 100 THEN substr(d.text, 1, 100) || '...'
+                ELSE d.text END AS text_snippet,
+           r.score, r.n_terms_matched
+    FROM r JOIN (SELECT 'doc://' || doc_id AS doc_id, text FROM documents) d
+      USING (doc_id)
+    WHERE rn <= 10
+    """,
+)
+def quick_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — Mongo $text + textScore top-10 (reference:
+    src/search_engine.py:365-410, text index :50-54) re-expressed as an
+    inverted token-index posting table + tf scoring: explode→groupBy builds
+    the index, the query's term filter prunes it, a broadcast joins the ten
+    winners back for display fields. No substring scan of the corpus."""
+    from .operators.kind import document_type_col
+    from .operators.search import quick_search
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("extracted_text"),
+        document_type_col(F.col("text")).alias("document_type"),
+    )
+    return quick_search(d, " ".join(_QS_TERMS), limit=10)
 
 
 # ===========================================================================

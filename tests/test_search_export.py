@@ -90,3 +90,43 @@ def test_export_json_envelope(results):
     doc = json.loads(row["document_json"])
     assert doc["url"] == row["url"]
     assert "features" in doc and "version" in doc
+
+
+def test_quick_search_relevance_ranking(spark):
+    """O2 — tf ranking, OR semantics, stopword drop, deterministic
+    tie-break, and snippet truncation."""
+    from llm_document_parser_spark.operators.search import (
+        build_token_index,
+        quick_search,
+        tokenize_query,
+    )
+
+    rows = [
+        ("u1", "general", "alpha beta alpha gamma " + "pad " * 40),
+        ("u2", "general", "alpha beta"),
+        ("u0", "general", "alpha beta"),          # ties with u2 -> id order
+        ("u3", "general", "beta beta beta beta"),  # tf=4 on one term
+        ("u4", "general", "delta only"),           # no match
+        ("u5", "general", "the and with"),         # all stopwords
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, document_type string, extracted_text string"
+    )
+    # stopwords never enter the query either
+    assert tokenize_query("the alpha AND beta!") == ["alpha", "beta"]
+
+    got = quick_search(df, "the alpha AND beta!", limit=3).collect()
+    assert [r["doc_id"] for r in got] == ["u3", "u1", "u0"]
+    assert [r["score"] for r in got] == [4, 3, 2]
+    assert got[0]["n_terms_matched"] == 1  # OR semantics: beta only
+    assert got[1]["n_terms_matched"] == 2
+    assert got[1]["text_snippet"].endswith("...")
+    assert len(got[1]["text_snippet"]) == 103
+
+    # pre-built index path returns the same thing
+    idx = build_token_index(df)
+    got2 = quick_search(df, "alpha beta", limit=3, index=idx).collect()
+    assert [r["doc_id"] for r in got2] == ["u3", "u1", "u0"]
+
+    # empty-after-stopwords query matches nothing
+    assert quick_search(df, "the and", limit=3).count() == 0
