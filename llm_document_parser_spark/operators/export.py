@@ -19,8 +19,17 @@ left-semi join against the requested url set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # pragma: no cover - optional, not installed in this environment
+    import openpyxl  # type: ignore  # noqa: F401
+
+    HAS_OPENPYXL = True
+except Exception:  # pragma: no cover
+    HAS_OPENPYXL = False
 
 # stable flattened field set, from the reference's CSV writer field order
 # (reference: src/export_manager.py:38-41 uses pattern/contact key iteration;
@@ -88,6 +97,71 @@ def export_json_docs(results: DataFrame, version: str = "1.0") -> DataFrame:
         )
     )
     return results.select("url", doc.alias("document_json"))
+
+
+EXCEL_CELL_LIMIT = 32767  # reference: src/export_manager.py:173
+EXCEL_SHEETS = ["Document Info", "Extraction Patterns", "Contact Info", "Text Preview"]
+
+
+def excel_sheet_frames(results: DataFrame) -> dict[str, DataFrame]:
+    """S11 — the four sheets of the reference's Excel export (reference:
+    src/export_manager.py:88-184) as DataFrames, keyed by sheet name.
+    Rows are sorted for a deterministic artifact."""
+    info = results.select(
+        F.col("url"),
+        F.col("document_type"),
+        F.col("doc_kind"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("crawled_at"),
+        F.col("features.text_length").alias("text_length"),
+    ).orderBy("url")
+    patterns = (
+        export_long(results, "patterns").filter(F.col("key").isNotNull())
+        .withColumnsRenamed({"key": "pattern_type", "values": "values_joined"})
+        .orderBy("url", "pattern_type")
+    )
+    contacts = (
+        export_long(results, "contacts").filter(F.col("key").isNotNull())
+        .withColumnsRenamed({"key": "contact_type", "values": "values_joined"})
+        .orderBy("url", "contact_type")
+    )
+    preview = results.select(
+        "url",
+        F.substring("extracted_text", 1, EXCEL_CELL_LIMIT).alias("text_preview"),
+    ).orderBy("url")
+    return dict(zip(EXCEL_SHEETS, [info, patterns, contacts, preview]))
+
+
+def _write_xlsx(frames: dict[str, "object"], out_path: str) -> None:
+    """xlsx writer (requires openpyxl); frames are pandas DataFrames."""
+    import pandas as pd
+
+    with pd.ExcelWriter(out_path, engine="openpyxl") as writer:
+        for sheet, pdf in frames.items():
+            pdf.to_excel(writer, sheet_name=sheet, index=False)
+
+
+def write_excel_export(results: DataFrame, out_dir: str, basename: str = "export") -> dict:
+    """S11 sink — multi-sheet Excel when openpyxl is installed, otherwise
+    one CSV per sheet (same frames, same rows). Collecting to the driver is
+    the correct shape here: exports are keyed small selections (the
+    reference buffers the whole workbook in one BytesIO,
+    src/export_manager.py:111), not corpus-scale scans — corpus-scale output
+    goes through the parquet/JSON sinks.
+
+    Returns {"format", "files": {sheet: path}}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    frames = {s: df.toPandas() for s, df in excel_sheet_frames(results).items()}
+    if HAS_OPENPYXL:
+        out_path = os.path.join(out_dir, f"{basename}.xlsx")
+        _write_xlsx(frames, out_path)
+        return {"format": "xlsx", "files": {s: out_path for s in frames}}
+    files = {}
+    for sheet, pdf in frames.items():
+        path = os.path.join(out_dir, f"{basename}_{sheet.lower().replace(' ', '_')}.csv")
+        pdf.to_csv(path, index=False)
+        files[sheet] = path
+    return {"format": "csv-fallback", "files": files}
 
 
 def flatten_first_values(results: DataFrame) -> DataFrame:

@@ -130,3 +130,47 @@ def test_quick_search_relevance_ranking(spark):
 
     # empty-after-stopwords query matches nothing
     assert quick_search(df, "the and", limit=3).count() == 0
+
+
+def test_excel_export_sheets(spark, tmp_path, monkeypatch):
+    """S11 — the four reference sheets materialize; CSV fallback without
+    openpyxl, xlsx branch selected when the gate is open."""
+    import pandas as pd
+
+    from llm_document_parser_spark.datagen import generate_pages
+    from llm_document_parser_spark.operators import export as ex
+    from llm_document_parser_spark.pipeline import extract_pipeline
+
+    results = extract_pipeline(generate_pages(spark, 20, seed=17, partitions=2))
+
+    out = ex.write_excel_export(results, str(tmp_path / "exp"))
+    assert out["format"] == "csv-fallback"
+    assert set(out["files"]) == set(ex.EXCEL_SHEETS)
+
+    info = pd.read_csv(out["files"]["Document Info"])
+    assert len(info) == 20
+    assert list(info.columns) == [
+        "url", "document_type", "doc_kind", "crawled_at", "text_length"
+    ]
+    pat = pd.read_csv(out["files"]["Extraction Patterns"])
+    assert list(pat.columns) == ["url", "pattern_type", "values_joined"]
+    # long rows match the export_long derivation exactly
+    want = {
+        (r["url"], r["key"], r["values"])
+        for r in ex.export_long(results, "patterns").filter("key is not null").collect()
+    }
+    got = {tuple(x) for x in pat.itertuples(index=False, name=None)}
+    assert got == want
+    prev = pd.read_csv(out["files"]["Text Preview"])
+    assert len(prev) == 20
+
+    # xlsx branch: seam only (openpyxl not installed here)
+    calls = {}
+    monkeypatch.setattr(ex, "HAS_OPENPYXL", True)
+    monkeypatch.setattr(
+        ex, "_write_xlsx", lambda frames, p: calls.update(path=p, sheets=list(frames))
+    )
+    out2 = ex.write_excel_export(results.limit(3), str(tmp_path / "exp2"))
+    assert out2["format"] == "xlsx"
+    assert calls["sheets"] == ex.EXCEL_SHEETS
+    assert calls["path"].endswith("export.xlsx")
