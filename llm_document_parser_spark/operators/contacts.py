@@ -3,10 +3,19 @@
 
 Mirrors ``extract_contact_info`` (reference: src/document_parser.py:462-505).
 The reference canonicalizes phones with the ``phonenumbers`` library (not
-available here); the engine's deterministic spec: a number whose digits form
-a valid NANP number (10 digits, or 11 with leading '1', area code and
-exchange starting [2-9]) is formatted ``+1 AAA-EEE-NNNN`` (the library's
-INTERNATIONAL format for US numbers); anything else passes through unchanged.
+available here); the engine's deterministic spec:
+
+* a number whose digits form a valid NANP number (10 digits, or 11 with
+  leading '1', area code and exchange starting [2-9]) is formatted
+  ``+1 AAA-EEE-NNNN`` (the library's INTERNATIONAL format for US numbers);
+* a ``+CC``-prefixed number with a recognized country code and an 8-12
+  digit national part is formatted ``+CC NNNNNNNNN`` (country code, one
+  space, undelimited national digits). phonenumbers' per-region digit
+  grouping needs its metadata database, so the engine pins this normalized
+  grouping instead — a documented deviation with the same
+  valid→canonicalize / invalid→passthrough contract (reference :470-478);
+* anything else passes through unchanged.
+
 The oracle implements the identical spec.
 """
 
@@ -16,6 +25,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .patterns import patterns_map_for
+
+# recognized non-NANP calling codes (two-digit first so the regex
+# alternation prefers the longest match; '7' last)
+INTL_CCS = ("44", "49", "91", "33", "34", "39", "81", "86", "61", "52", "55", "7")
+_INTL_CC_RE = r"^\+(" + "|".join(INTL_CCS) + r")"
 
 # (?is) = re.IGNORECASE | re.DOTALL; Python \Z -> Java \z
 CONTACT_BLOCK_PATTERNS = [
@@ -37,7 +51,11 @@ def canonical_phone(p: Column) -> Column:
         F.substring(ten, 4, 3),
         F.substring(ten, 7, 4),
     )
-    return F.when(valid, formatted).otherwise(p)
+    cc = F.regexp_extract(F.trim(p), _INTL_CC_RE, 1)
+    national = F.regexp_replace(digits, F.concat(F.lit("^"), cc), F.lit(""))
+    intl_valid = (cc != "") & F.length(national).between(8, 12)
+    intl_formatted = F.concat(F.lit("+"), cc, F.lit(" "), national)
+    return F.when(valid, formatted).when(intl_valid, intl_formatted).otherwise(p)
 
 
 def contact_blocks(text: Column) -> Column:

@@ -158,12 +158,19 @@ _CONTACT_BLOCKS = [
 ]
 
 
+_INTL_CCS = ("44", "49", "91", "33", "34", "39", "81", "86", "61", "52", "55", "7")
+
+
 def canonical_phone(p: str) -> str:
     digits = re.sub(r"[^0-9]", "", p)
-    if len(digits) == 11 and digits.startswith("1"):
-        digits = digits[1:]
-    if len(digits) == 10 and re.match(r"^[2-9][0-9]{2}[2-9][0-9]{6}$", digits):
-        return f"+1 {digits[0:3]}-{digits[3:6]}-{digits[6:10]}"
+    nanp = digits[1:] if len(digits) == 11 and digits.startswith("1") else digits
+    if len(nanp) == 10 and re.match(r"^[2-9][0-9]{2}[2-9][0-9]{6}$", nanp):
+        return f"+1 {nanp[0:3]}-{nanp[3:6]}-{nanp[6:10]}"
+    m = re.match(r"^\+(" + "|".join(_INTL_CCS) + ")", p.strip())
+    if m:
+        national = digits[len(m.group(1)):]
+        if 8 <= len(national) <= 12:
+            return f"+{m.group(1)} {national}"
     return p
 
 

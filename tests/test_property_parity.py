@@ -79,12 +79,39 @@ def test_pattern_extraction_parity(spark, doc_type, texts):
         assert got_map == want_map, repr(t)
 
 
-@settings(max_examples=8, deadline=None)
-@given(st.lists(st.text(alphabet="0123456789-.() +x", max_size=20), min_size=1, max_size=40))
+PHONE_INPUTS = st.one_of(
+    st.text(alphabet="0123456789-.() +x", max_size=20),
+    # international shapes: +CC then 6-13 national digits with separators
+    st.tuples(
+        st.sampled_from(["+44", "+49", "+91", "+7", "+1", "+86", "+999"]),
+        st.text(alphabet="0123456789 -", min_size=6, max_size=15),
+    ).map(lambda t: t[0] + " " + t[1]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(PHONE_INPUTS, min_size=1, max_size=40))
 def test_phone_canonicalization_parity(spark, phones):
     got = _run(spark, phones, canonical_phone(F.col("t")))
     want = [oracle_ref.canonical_phone(p) for p in phones]
     assert got == want
+
+
+def test_phone_international_spec(spark):
+    """Pin the +CC deterministic spec on known shapes."""
+    cases = {
+        "+44 20 7946 0958": "+44 2079460958",
+        "+49 (30) 901820": "+49 30901820",
+        "+91-98765-43210": "+91 9876543210",
+        "+1-555-234-5678": "+1 555-234-5678",   # NANP wins
+        "+44 12": "+44 12",                      # national too short -> passthrough
+        "+999 123456789": "+999 123456789",      # unknown CC -> passthrough
+        "5552345678": "+1 555-234-5678",
+        "0 11 22 33": "0 11 22 33",
+    }
+    got = _run(spark, list(cases), canonical_phone(F.col("t")))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want == oracle_ref.canonical_phone(raw), raw
 
 
 @settings(max_examples=6, deadline=None)
