@@ -98,6 +98,42 @@ def with_predicted_type(model: PipelineModel, df: DataFrame) -> DataFrame:
     )
 
 
+def record_training_run(
+    spark,
+    history_path: str,
+    model_id: str,
+    n_samples: int,
+    metrics: dict,
+    model_path: str | None = None,
+) -> None:
+    """M8 — durable training-history rows (the reference keeps an in-memory
+    ``training_history`` list serialized with the joblib artifact,
+    src/document_parser.py:50-51,650-651,696-697; here it's an appendable
+    parquet table usable from any session)."""
+    import datetime as _dt
+
+    row = [
+        (
+            model_id,
+            _dt.datetime.now(),
+            int(n_samples),
+            float(metrics.get("accuracy", 0.0)),
+            {k: str(v) for k, v in metrics.get("confusion", {}).items()},
+            model_path,
+        )
+    ]
+    spark.createDataFrame(
+        row,
+        "model_id string, trained_at timestamp, n_samples long, "
+        "accuracy double, confusion map<string,string>, model_path string",
+    ).write.mode("append").parquet(history_path)
+
+
+def training_history(spark, history_path: str):
+    """Latest-first training runs (the status-poll side of M8)."""
+    return spark.read.parquet(history_path).orderBy(F.desc("trained_at"))
+
+
 def classification_report(
     scored: DataFrame,
     true_col: str = "document_type",

@@ -104,3 +104,25 @@ def test_golden_label_eval(spark, training_df):
     for cls in ("invoice", "receipt", "contract", "contact"):
         assert cls in rep and rep[cls]["support"] > 0
     assert 0 < rep["accuracy"] <= (80 - n_cross) / 80
+
+
+def test_training_history_table(spark, training_df, tmp_path):
+    """M8 — train runs append durable history rows, readable latest-first."""
+    from llm_document_parser_spark.ml.classify import (
+        record_training_run,
+        training_history,
+    )
+
+    train, test = stratified_split(training_df)
+    model = train_classifier(train, num_trees=5)
+    metrics = evaluate(model, test)
+    hist = str(tmp_path / "training_history")
+    record_training_run(spark, hist, "m1", train.count(), metrics)
+    record_training_run(spark, hist, "m2", train.count(), metrics, model_path="/models/m2")
+
+    rows = training_history(spark, hist).collect()
+    assert [r["model_id"] for r in rows] == ["m2", "m1"]
+    assert rows[0]["model_path"] == "/models/m2"
+    assert rows[0]["accuracy"] == metrics["accuracy"]
+    assert rows[0]["n_samples"] > 0
+    assert isinstance(rows[0]["confusion"], dict) and rows[0]["confusion"]
