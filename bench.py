@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "simhash_fingerprints",
     "ann_cosine_topk",
     "synth_invoice_roundtrip",
+    "quick_search_top10",
+    "embedding_near_dups_banded",
 ]
 
 N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
