@@ -29,6 +29,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from llm_document_parser_spark.lineage import job_progress, run_with_lineage
 from llm_document_parser_spark.pipeline import extract_pipeline
 from llm_document_parser_spark.session import get_spark
@@ -74,8 +76,17 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_commit=args.buckets_per_commit,
     )
     progress = job_progress(spark, args.lineage, job_id, args.buckets)
-    n = spark.read.parquet(args.output).count()
-    print(json.dumps({**progress, "result_rows": n}))
+    # row total from the (tiny) lineage table — per-bucket counts were
+    # recorded at commit time, so no re-scan of the result table is needed
+    n = (
+        spark.read.parquet(args.lineage)
+        .filter((F.col("job_id") == job_id) & (F.col("status") == "completed"))
+        .groupBy("bucket")
+        .agg(F.max("rows").alias("rows"))  # idempotent under re-committed buckets
+        .agg(F.sum("rows"))
+        .collect()[0][0]
+    )
+    print(json.dumps({**progress, "result_rows": int(n or 0)}))
     spark.stop()
     return 0 if progress["progress"] == 1.0 else 1
 

@@ -98,10 +98,14 @@ _HTML_MARKER_RE = re.compile(r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[
 
 
 def sniff_doc_kind(payload: bytes | None) -> str:
+    from .operators.kind import IMAGE_MAGICS
+
     if not payload:
         return "empty"
     if payload.startswith(b"%PDF-"):
         return "pdf"
+    if any(payload.startswith(m) for m in IMAGE_MAGICS):
+        return "image"
     head = payload[:1024].decode("utf-8", errors="replace")
     if _HTML_MARKER_RE.search(head):
         return "html"

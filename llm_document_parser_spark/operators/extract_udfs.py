@@ -22,11 +22,30 @@ from ..html_extract import extract_main_text
 from ..minipdf import extract_pdf_text
 
 try:  # pragma: no cover - optional, not installed here
-    import pytesseract  # type: ignore  # noqa: F401
+    import pytesseract  # type: ignore
+    from PIL import Image  # type: ignore
 
     HAS_OCR = True
 except Exception:  # pragma: no cover
+    pytesseract = None
+    Image = None
     HAS_OCR = False
+
+
+def _ocr_image_text(payload: bytes) -> str:
+    """S2 — OCR path (reference: extract_text_from_image,
+    src/document_parser.py:128-146): pytesseract over the decoded image;
+    missing library or any decode/OCR error degrades to "" (→
+    success=false downstream), exactly the reference's warning paths.
+    Gate is read at call time so the seam is testable with fakes."""
+    if not HAS_OCR:
+        return ""
+    try:
+        import io
+
+        return pytesseract.image_to_string(Image.open(io.BytesIO(payload)))
+    except Exception:
+        return ""
 
 
 def _payload_to_text(payload: bytes | None, kind: str) -> str:
@@ -36,6 +55,8 @@ def _payload_to_text(payload: bytes | None, kind: str) -> str:
         return extract_pdf_text(payload)
     if kind == "html":
         return extract_main_text(payload.decode("utf-8", errors="replace"))
+    if kind == "image":
+        return _ocr_image_text(payload)
     if kind == "text":
         return payload.decode("utf-8", errors="replace")
     return ""

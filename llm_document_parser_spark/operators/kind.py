@@ -15,14 +15,30 @@ from pyspark.sql import functions as F
 
 _HTML_MARKER = r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 
+# image magic bytes (the reference dispatches on file EXTENSION,
+# src/document_parser.py:756-759; content sniffing is the crawl-scale
+# equivalent — extensions don't exist in a pages table)
+IMAGE_MAGICS: tuple[bytes, ...] = (
+    b"\x89PNG",      # PNG
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF8",          # GIF87a/89a
+    b"BM",            # BMP
+    b"II*\x00",       # TIFF little-endian
+    b"MM\x00*",       # TIFF big-endian
+)
+
 
 def doc_kind_col(payload: Column) -> Column:
     # cast(binary as string) reinterprets bytes without UTF-8 validation —
     # decode() would throw MALFORMED_CHARACTER_CODING on real-web garbage
     head = F.substring(payload, 1, 1024).cast("string")
+    is_image = F.lit(False)
+    for magic in IMAGE_MAGICS:
+        is_image = is_image | (F.substring(payload, 1, len(magic)) == F.lit(magic))
     return (
         F.when(payload.isNull() | (F.length(payload) == 0), F.lit("empty"))
         .when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(is_image, F.lit("image"))
         .when(head.rlike(_HTML_MARKER), F.lit("html"))
         .otherwise(F.lit("text"))
     )

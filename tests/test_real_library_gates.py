@@ -172,3 +172,74 @@ def test_pipeline_defaults_to_rule_ner_without_spacy(spark, tmp_path):
     # without spaCy installed the plan must stay single-Python-stage
     assert plan.count("ArrowEvalPython") == 1
     assert "MapInPandas" not in plan
+
+
+# -------------------------------------------------------------------- OCR
+
+
+PNG_1PX = (  # minimal valid PNG header + IHDR prefix (sniffing only)
+    b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR" + b"\x00" * 20
+)
+
+
+def test_image_kind_sniffing():
+    from llm_document_parser_spark.html_extract import sniff_doc_kind
+
+    assert sniff_doc_kind(PNG_1PX) == "image"
+    assert sniff_doc_kind(b"\xff\xd8\xff\xe0JFIF") == "image"
+    assert sniff_doc_kind(b"GIF89a....") == "image"
+    assert sniff_doc_kind(b"II*\x00tiff") == "image"
+    assert sniff_doc_kind(b"%PDF-1.4") == "pdf"
+    assert sniff_doc_kind(b"plain words") == "text"
+
+
+def test_ocr_degrades_without_library():
+    from llm_document_parser_spark.operators import extract_udfs as eu
+
+    assert not eu.HAS_OCR  # environment precondition
+    assert eu._payload_to_text(PNG_1PX, "image") == ""
+
+
+def test_ocr_dispatch_when_installed(monkeypatch):
+    from types import SimpleNamespace
+
+    from llm_document_parser_spark.operators import extract_udfs as eu
+
+    opened = {}
+
+    class _FakeImageMod:
+        @staticmethod
+        def open(fobj):
+            opened["bytes"] = fobj.read()
+            return "fake-image-object"
+
+    fake_tess = SimpleNamespace(
+        image_to_string=lambda img: "OCR TEXT" if img == "fake-image-object" else ""
+    )
+    monkeypatch.setattr(eu, "pytesseract", fake_tess)
+    monkeypatch.setattr(eu, "Image", _FakeImageMod)
+    monkeypatch.setattr(eu, "HAS_OCR", True)
+    assert eu._payload_to_text(PNG_1PX, "image") == "OCR TEXT"
+    assert opened["bytes"] == PNG_1PX
+
+    # any OCR error degrades to "" (reference :144-146)
+    monkeypatch.setattr(
+        eu, "pytesseract",
+        SimpleNamespace(image_to_string=lambda img: (_ for _ in ()).throw(ValueError())),
+    )
+    assert eu._payload_to_text(PNG_1PX, "image") == ""
+
+
+def test_image_payload_flows_to_success_false(spark):
+    """End-to-end: an image payload without OCR installed becomes a
+    success=false row with doc_kind='image' — never a crash."""
+    from llm_document_parser_spark.pipeline import extract_pipeline
+
+    pages = spark.createDataFrame(
+        [("img://1", None, bytearray(PNG_1PX), None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    row = extract_pipeline(pages).collect()[0]
+    assert row["doc_kind"] == "image"
+    assert row["success"] is False
+    assert row["error"] == "No text could be extracted from the document"
