@@ -591,6 +591,101 @@ def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dup)
 
 
+_CURATE_HITS_SQL = ", ".join(
+    f"len(regexp_extract_all(lower(text), '{pat}')) AS h_{lang}"
+    for lang, pat in _LANG_HIT_SQL.items()
+)
+_CURATE_BEST_SQL = (
+    "greatest("
+    + ", ".join(f"len(regexp_extract_all(lower(text), '{p}'))" for p in _LANG_HIT_SQL.values())
+    + ")"
+)
+_CURATE_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'" for lang in _LANG_HIT_SQL)
+    + " ELSE 'und' END"
+)
+_CURATE_QUALITY_SQL = """
+    round(least(n / 500.0, 1.0) * 0.3
+          + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+          + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) <= 0.1
+                  THEN 1.0 ELSE 0.0 END) * 0.15
+          + (CASE WHEN words > 0
+                   AND (n - (words - 1)) / words >= 3.0
+                   AND (n - (words - 1)) / words <= 10.0
+                  THEN 1.0 ELSE 0.0 END) * 0.15, 6)
+"""
+
+
+@query(
+    "curated_corpus_stats",
+    rf"""
+    WITH all_docs AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+      WHERE doc_id < 50),
+    m AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS words,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             {_CURATE_HITS_SQL}, {_CURATE_BEST_SQL} AS best
+      FROM all_docs),
+    scored AS (
+      SELECT source, doc_id, ws_tokens,
+             {_CURATE_LANG_CASE} AS lang_pred,
+             {_CURATE_QUALITY_SQL} AS quality,
+             min(doc_id) OVER (PARTITION BY digest) AS keep_id
+      FROM m)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM scored
+    WHERE doc_id = keep_id AND lang_pred = 'en' AND quality >= 0.8
+    GROUP BY source
+    """,
+)
+def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass a 100 TB pipeline runs as
+    ONE plan: exact dedup (keep the min doc_id per normalized digest, via a
+    window over the digest hash — one shuffle), language gate (stopword
+    argmax == 'en'), quality gate (score >= 0.8), then per-source corpus
+    accounting. min/max are used instead of avg for the float stat — they
+    are addition-order-independent, so the cross-engine hash is exact."""
+    d = _t(spark, sf_dir, "documents")
+    all_docs = d.select("doc_id", "text", "source").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+        )
+    )
+    text = F.col("text")
+    scored = all_docs.select(
+        "source",
+        "doc_id",
+        textstats.token_count(text).alias("ws_tokens"),
+        textstats.lang_id(text).alias("lang_pred"),
+        textstats.quality_score(text).alias("quality"),
+        dedup.normalized_digest(text).alias("digest"),
+    ).withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("digest")))
+    kept = scored.filter(
+        (F.col("doc_id") == F.col("keep_id"))
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.8)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
 @query(
     "exact_dup_groups",
     r"""

@@ -71,3 +71,42 @@ def test_banded_near_dup_matches_exact_on_planted_dups(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_near_dup_recall_on_perturbed_vectors(spark):
+    """Banded LSH on NON-identical near-dups: precision is 1.0 by
+    construction (same exact-cosine threshold applied to candidates), and
+    recall on ~0.95-0.99-cosine pairs must clear the 1-(1-s^r)^b analysis
+    (s≈0.9-0.97 sign-agreement -> expected recall ≈ 0.85+ at r=4, b=2)."""
+    import numpy as np
+
+    from llm_document_parser_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_banded,
+    )
+    from llm_document_parser_spark.queries import _NEARDUP_BANDS
+
+    rng = np.random.RandomState(42)
+    base = rng.randn(60, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 30:  # plant a perturbed near-duplicate
+            noise = rng.randn(64) * (0.08 + 0.04 * (i % 3))
+            rows.append((1000 + i, [float(x) for x in v + noise]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_banded(
+            df, threshold=0.95, plane_bands=_NEARDUP_BANDS
+        ).collect()
+    }
+    assert len(exact) >= 20  # the planted pairs exist
+    assert banded <= exact   # precision 1.0
+    recall = len(banded) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} ({len(banded)}/{len(exact)})"
