@@ -71,3 +71,22 @@ def test_extract_pipeline_has_single_python_stage(spark):
 def test_ann_topk_broadcasts_query_side(spark):
     txt = plan_of(REGISTRY["ann_cosine_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_quick_search_plan_shape(spark):
+    """O2: the winners join back to the corpus via broadcast; nothing
+    degenerates to a cartesian/nested-loop join."""
+    txt = plan_of(REGISTRY["quick_search_top10"](spark, SF))
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_curated_corpus_plan_is_fully_native(spark):
+    """The composed curation pass (dedup window + lang/quality gates +
+    per-source agg) must contain zero Python stages — it is the kind of
+    always-on pass that cannot afford serialization overhead at 100 TB."""
+    txt = plan_of(REGISTRY["curated_corpus_stats"](spark, SF))
+    assert "ArrowEvalPython" not in txt
+    assert "BatchEvalPython" not in txt
+    assert "MapInPandas" not in txt
