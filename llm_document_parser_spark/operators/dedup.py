@@ -196,6 +196,44 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 # ---------------------------------------------------------------------------
 
 
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full production near-dup composition: banded MinHash candidate
+    generation (bucket equi-join, no cross product) followed by exact
+    Jaccard verification restricted to the candidate pairs — two id
+    equi-joins to fetch shingle sets, then a per-row set intersection.
+
+    This is the scale-correct end-to-end shape: the O(n²) exact measure
+    only ever touches pairs the LSH surfaced (recall governed by the
+    band/row geometry; verification removes LSH false positives)."""
+    cands = minhash_candidate_pairs(
+        df, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+    )
+    sh = df.select(
+        F.col(id_col).cast("long").alias("_vid"),
+        shingles_col(F.col(text_col), shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    joined = cands.join(
+        sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a"
+    ).join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        joined.select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

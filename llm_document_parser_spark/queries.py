@@ -740,6 +740,37 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(both, num_hashes=8, bands=4)
 
 
+@query(
+    "verified_near_dup_pairs",
+    _MINHASH_ORACLE.replace(
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b\n"
+        "    FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id",
+        """, cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+             AS jaccard
+    FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b
+    WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.5""",
+    ),
+)
+def verified_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end production near-dup composition: MinHash-LSH
+    candidates (bucket equi-join) verified by exact Jaccard over ONLY the
+    candidate pairs — never all pairs. Same planted drop-first-word base
+    as minhash_near_dup_pairs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    return dedup.verified_near_dup_pairs(both, num_hashes=8, bands=4, threshold=0.5)
+
+
 def _simhash_oracle() -> str:
     votes = []
     for b in range(16):
