@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .ner import entity_matches
 
-_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_EMAIL = r"(?<![a-zA-Z0-9._%+-])[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 _PHONE = r"(\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4})"
 _CURRENCY = r"(\$\d+(?:,\d{3})*(?:\.\d{2})?)"
 _DATE = r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})"

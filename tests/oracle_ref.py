@@ -53,7 +53,7 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("tax", r"(?:tax|vat):?\s*(\$\d+(?:\.\d{2})?)", 1),
         ("first_name", r"(?:first name|given name):?\s*([A-Z][a-z]+)", 1),
         ("last_name", r"(?:last name|surname|family name):?\s*([A-Z][a-z]+)", 1),
-        ("email", r"([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
+        ("email", r"((?<![a-zA-Z0-9._%+-])[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
         ("product_id", r"(?:product id|product code|item #):?\s*([A-Z0-9-]+)", 1),
         ("qty", r"(?:quantity|qty):?\s*(\d+)", 1),
         ("amount", r"(?:amount|price):?\s*(\$\d+(?:\.\d{2})?)", 1),
@@ -78,7 +78,7 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("supplier", r"(?:supplier|vendor):?\s*([A-Za-z0-9\s,&]+)", 1),
     ],
     "contact": [
-        ("email", r"([a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
+        ("email", r"((?<![a-zA-Z0-9._%+-])[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,})", 1),
         ("phone", r"(\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4})", 1),
         ("website", r"(https?://[^\s]+)", 1),
         ("name", r"(?:name|contact):?\s*([A-Z][a-z]+\s+[A-Z][a-z]+)", 1),
@@ -228,7 +228,7 @@ def extract_document_holder_name(text: str) -> dict:
 
 def extract_features(text: str) -> dict[str, int]:
     return {
-        "email_count": len(re.findall(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", text)),
+        "email_count": len(re.findall(r"(?<![a-zA-Z0-9._%+-])[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", text)),
         "phone_count": len(re.findall(r"(\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4})", text)),
         "currency_count": len(re.findall(r"(\$\d+(?:,\d{3})*(?:\.\d{2})?)", text)),
         "date_count": len(re.findall(r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", text)),
