@@ -16,6 +16,21 @@ src/document_parser.py:402-414): findall per field, drop fields with no
 matches, dedup. The reference dedups via ``list(set(...))`` whose order is
 PYTHONHASHSEED-dependent (SURVEY.md §5.4); here ``array_distinct`` keeps
 first-occurrence order and tests compare order-insensitively.
+
+Adversarial-input guards (deviations the reference NEEDS — its own regexes
+are superlinear on crawl-scale degenerate lines; measured in
+tests/test_hostile_payloads.py):
+
+* ``email`` carries a leading negative lookbehind on its own class: without
+  it every position inside a long letter run re-consumes the remainder —
+  O(n²), minutes per 200 KB single-token line. The guard is exact: a
+  successful in-run start implies a longer leftmost match from the run
+  start, which findall already prefers.
+* ``address`` bounds its inner spans (``[\\w\\s]{1,100}``,
+  ``[A-Za-z\\s]{1,60}``, street number ≤6 digits, digit-run lookbehind) —
+  the unbounded original's overlapping classes backtrack superlinearly
+  (measured 28 s on ONE 32 KB digit+word line). Only degenerate >100-char
+  "addresses" change behavior; the oracle mirrors the bounds.
 """
 
 from __future__ import annotations
@@ -38,7 +53,7 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("qty", r"(?i)(?:quantity|qty):?\s*(\d+)", 1),
         ("amount", r"(?i)(?:amount|price):?\s*(\$\d+(?:\.\d{2})?)", 1),
         ("invoice_date", r"(?i)(?:invoice date|date issued):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
-        ("address", r"(?i)(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("address", r"(?i)((?<!\d)\d{1,6}\s+[\w\s]{1,100},?\s*[A-Za-z\s]{1,60},?\s*[A-Z]{2}\s*\d{5})", 1),
         ("city", r"(?i)(?:city):?\s*([A-Za-z\s]+)(?=\s*[,]|\s*[A-Z]{2})", 1),
         ("stock_code", r"(?i)(?:stock code|sku):?\s*([A-Z0-9-]+)", 1),
         ("job", r"(?i)(?:job|project|work order):?\s*([A-Z0-9-]+)", 1),
@@ -63,12 +78,12 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("website", r"(?i)(https?://[^\s]+)", 1),
         ("name", r"(?i)(?:name|contact):?\s*([A-Z][a-z]+\s+[A-Z][a-z]+)", 1),
         ("company", r"(?i)(?:company|firm|organization):?\s*([A-Za-z0-9\s&.,]+)", 1),
-        ("address", r"(?i)(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("address", r"(?i)((?<!\d)\d{1,6}\s+[\w\s]{1,100},?\s*[A-Za-z\s]{1,60},?\s*[A-Z]{2}\s*\d{5})", 1),
         ("zip_code", r"(?i)\b\d{5}(?:-\d{4})?\b", 0),
     ],
     "general": [
         ("currency", r"(?i)(\$\d+(?:,\d{3})*(?:\.\d{2})?)", 1),
-        ("percentage", r"(?i)(\d+(?:\.\d+)?%)", 1),
+        ("percentage", r"(?i)((?<!\d)\d+(?:\.\d+)?%)", 1),
         ("date", r"(?i)(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
     ],
 }

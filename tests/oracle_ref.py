@@ -58,7 +58,7 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("qty", r"(?:quantity|qty):?\s*(\d+)", 1),
         ("amount", r"(?:amount|price):?\s*(\$\d+(?:\.\d{2})?)", 1),
         ("invoice_date", r"(?:invoice date|date issued):?\s*(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
-        ("address", r"(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("address", r"((?<!\d)\d{1,6}\s+[\w\s]{1,100},?\s*[A-Za-z\s]{1,60},?\s*[A-Z]{2}\s*\d{5})", 1),
         ("city", r"(?:city):?\s*([A-Za-z\s]+)(?=\s*[,]|\s*[A-Z]{2})", 1),
         ("stock_code", r"(?:stock code|sku):?\s*([A-Z0-9-]+)", 1),
         ("job", r"(?:job|project|work order):?\s*([A-Z0-9-]+)", 1),
@@ -83,12 +83,12 @@ PATTERNS: dict[str, list[tuple[str, str, int]]] = {
         ("website", r"(https?://[^\s]+)", 1),
         ("name", r"(?:name|contact):?\s*([A-Z][a-z]+\s+[A-Z][a-z]+)", 1),
         ("company", r"(?:company|firm|organization):?\s*([A-Za-z0-9\s&.,]+)", 1),
-        ("address", r"(\d+\s+[\w\s]+,?\s*[A-Za-z\s]+,?\s*[A-Z]{2}\s*\d{5})", 1),
+        ("address", r"((?<!\d)\d{1,6}\s+[\w\s]{1,100},?\s*[A-Za-z\s]{1,60},?\s*[A-Z]{2}\s*\d{5})", 1),
         ("zip_code", r"\b\d{5}(?:-\d{4})?\b", 0),
     ],
     "general": [
         ("currency", r"(\$\d+(?:,\d{3})*(?:\.\d{2})?)", 1),
-        ("percentage", r"(\d+(?:\.\d+)?%)", 1),
+        ("percentage", r"((?<!\d)\d+(?:\.\d+)?%)", 1),
         ("date", r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", 1),
     ],
 }

@@ -90,3 +90,27 @@ def test_hostile_results_write_and_reread(spark, tmp_path):
     assert set(back.columns) == set(RESULT_COLUMNS)
     assert back.count() == len(HOSTILE)
     assert back.filter(F.col("success").isNull()).count() == 0
+
+
+def test_adversarial_regex_inputs_stay_fast(spark):
+    """Superlinear-regex guard: degenerate single-token and digit+word lines
+    (the shapes that made the unguarded email/address patterns take minutes
+    per document) must process in seconds."""
+    import time
+
+    payloads = [
+        ("letter-run", b"A" * 200_000),
+        ("digitword", b"1 " + b"word " * 6_400),       # 32 KB, one digit start
+        ("many-digit-starts", b"1 aa " * 6_400),        # 32 KB, many starts
+        ("digit-run", b"7" * 100_000 + b" Main St, Denver, CO 80205"),
+        ("space-words", (b"a " * 50_000)),
+    ]
+    rows = [(f"adv://{n}", None, bytearray(p), None, "en") for n, p in payloads]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    t0 = time.perf_counter()
+    out = extract_pipeline(pages).collect()
+    elapsed = time.perf_counter() - t0
+    assert len(out) == len(payloads)
+    assert elapsed < 60, f"adversarial batch took {elapsed:.1f}s"
