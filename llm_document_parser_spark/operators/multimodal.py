@@ -1,11 +1,13 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning) is real and tested; the codec step is a
-deterministic fake (the container has no image/audio libraries), gated
-exactly like the reference gates OCR (reference:
-src/document_parser.py:22-28). Swap ``_decode_image_real`` in by installing
-Pillow — nothing else changes.
+signatures, partitioning) is real and tested; the codec is gated exactly
+like the reference gates OCR (reference: src/document_parser.py:22-28):
+with Pillow installed, ``_decode_image_real`` decodes payloads into a
+deterministic grayscale-histogram feature; without it, ``_feature_fake``
+produces a byte-histogram stand-in with the same shape. Installing Pillow
+enables the real decode — nothing else changes. Decode errors degrade the
+row's feature to None (never crash the stage).
 
 Media rows follow the pages-table pattern: ``(url, media_type, payload
 binary, meta struct)``; features come back as fixed-width float arrays so
@@ -59,9 +61,23 @@ IMAGE_FEATURES_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
-def _decode_image_real(payload: bytes) -> list[float]:  # pragma: no cover
-    """Real decode path (requires Pillow); see module docstring."""
-    raise NotImplementedError("install Pillow to enable real image decode")
+def _decode_image_real(payload: bytes) -> list[float]:
+    """Real decode path (requires Pillow): open → grayscale → 32×32 resize →
+    FEATURE_DIM-bin luminance histogram, L1-normalized. Deterministic for a
+    given payload. Raises on undecodable bytes; ``_payload_to_feature``
+    degrades that row to a None feature (same degrade contract as the OCR
+    path, reference: src/document_parser.py:144-146)."""
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L").resize((32, 32))
+        pixels = list(gray.getdata())
+    hist = [0] * FEATURE_DIM
+    bucket = 256 // FEATURE_DIM
+    for px in pixels:
+        hist[min(int(px) // bucket, FEATURE_DIM - 1)] += 1
+    total = float(len(pixels))
+    return [h / total for h in hist]
 
 
 def _feature_fake(payload: bytes) -> list[float]:
@@ -77,6 +93,19 @@ def _feature_fake(payload: bytes) -> list[float]:
     return [h / total for h in hist]
 
 
+def _payload_to_feature(payload) -> list[float] | None:
+    """Dispatch seam: real Pillow decode when installed, the deterministic
+    fake otherwise; any decode error degrades the row to None rather than
+    failing the stage (mirrors extract_udfs._payload_to_text)."""
+    if payload is None:
+        return None
+    decode = _decode_image_real if HAS_PIL else _feature_fake
+    try:
+        return decode(bytes(payload))
+    except Exception:
+        return None
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary payloads.
 
@@ -84,9 +113,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     payload sizes are skewed (same rule as the pages pipeline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_image_real if HAS_PIL else _feature_fake
         for pdf in batches:
-            feats = [decode(p) if p is not None else None for p in pdf["payload"]]
+            feats = [_payload_to_feature(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

@@ -1,7 +1,10 @@
-"""Multimodal plumbing: schema, Arrow batch shape, deterministic features."""
+"""Multimodal plumbing: schema, Arrow batch shape, deterministic features,
+and the Pillow dispatch seam (driven with a fake — Pillow isn't installable
+here; same pattern as tests/test_real_library_gates.py)."""
 
 from __future__ import annotations
 
+from llm_document_parser_spark.operators import multimodal as mm
 from llm_document_parser_spark.operators.multimodal import (
     FEATURE_DIM,
     MEDIA_SCHEMA,
@@ -44,6 +47,110 @@ def test_features_compose_with_similarity(spark):
     rows = topk.orderBy("rank").collect()
     assert rows[0]["neighbor_id"] == "m://img2"  # identical payload ranks first
     assert rows[0]["score"] == 1.0
+
+
+# ------------------------------------------------------- Pillow seam (fake)
+
+
+class _FakeGray:
+    """Stands in for a PIL grayscale image: resize((32,32)) → getdata()."""
+
+    def __init__(self, pixels):
+        self._pixels = pixels
+        self.resized_to = None
+
+    def resize(self, size):
+        self.resized_to = size
+        return self
+
+    def getdata(self):
+        return list(self._pixels)
+
+
+class _FakePilImage:
+    def __init__(self, pixels):
+        self._gray = _FakeGray(pixels)
+        self.converted_to = None
+
+    def convert(self, mode):
+        self.converted_to = mode
+        return self._gray
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakePilImageMod:
+    """Stands in for PIL.Image: open(fileobj) → context-managed image."""
+
+    def __init__(self, pixels=None, raise_on_open=False):
+        self._pixels = pixels or []
+        self._raise = raise_on_open
+        self.opened_with = None
+        self.last_image = None
+
+    def open(self, fileobj):
+        if self._raise:
+            raise OSError("cannot identify image file")
+        self.opened_with = fileobj.read()
+        self.last_image = _FakePilImage(self._pixels)
+        return self.last_image
+
+
+def test_environment_has_no_pil():
+    assert not mm.HAS_PIL  # precondition: fake path is the default here
+
+
+def test_pil_decode_dispatch_when_installed(monkeypatch):
+    # 512 black + 512 white pixels → mass split between first and last bin
+    fake = _FakePilImageMod(pixels=[0] * 512 + [255] * 512)
+    monkeypatch.setattr(mm, "Image", fake, raising=False)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    payload = b"\x89PNG real-looking bytes"
+    feat = mm._payload_to_feature(payload)
+    assert fake.opened_with == payload
+    assert fake.last_image.converted_to == "L"
+    assert fake.last_image._gray.resized_to == (32, 32)
+    assert len(feat) == FEATURE_DIM
+    assert feat[0] == 0.5 and feat[FEATURE_DIM - 1] == 0.5
+    assert all(v == 0.0 for v in feat[1 : FEATURE_DIM - 1])
+
+
+def test_pil_decode_error_degrades_to_none(monkeypatch):
+    monkeypatch.setattr(mm, "Image", _FakePilImageMod(raise_on_open=True), raising=False)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+    assert mm._payload_to_feature(b"not an image") is None
+
+
+def test_fake_decoder_not_called_when_pil_present(monkeypatch):
+    fake = _FakePilImageMod(pixels=[128] * 1024)
+    monkeypatch.setattr(mm, "Image", fake, raising=False)
+    monkeypatch.setattr(mm, "HAS_PIL", True)
+
+    def boom(payload):
+        raise AssertionError("fake decoder must not run when Pillow is installed")
+
+    monkeypatch.setattr(mm, "_feature_fake", boom)
+    feat = mm._payload_to_feature(b"payload")
+    assert fake.opened_with == b"payload"
+    # 128 // (256//16) = bin 8 gets all the mass
+    assert feat[8] == 1.0 and sum(feat) == 1.0
+
+
+def test_no_pil_uses_fake_and_never_dispatches(monkeypatch):
+    called = {}
+
+    def fake_real(payload):
+        called["real"] = True
+        return [0.0] * FEATURE_DIM
+
+    monkeypatch.setattr(mm, "_decode_image_real", fake_real)
+    assert mm._payload_to_feature(b"abc") == mm._feature_fake(b"abc")
+    assert "real" not in called
+    assert mm._payload_to_feature(None) is None
 
 
 def test_frame_sample_plan(spark):
