@@ -29,9 +29,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F
-
-from llm_document_parser_spark.lineage import job_progress, run_with_lineage
+from llm_document_parser_spark.lineage import (
+    committed_row_total,
+    job_progress,
+    run_with_lineage,
+)
 from llm_document_parser_spark.pipeline import extract_pipeline
 from llm_document_parser_spark.session import get_spark
 
@@ -78,15 +80,8 @@ def main(argv: list[str] | None = None) -> int:
     progress = job_progress(spark, args.lineage, job_id, args.buckets)
     # row total from the (tiny) lineage table — per-bucket counts were
     # recorded at commit time, so no re-scan of the result table is needed
-    n = (
-        spark.read.parquet(args.lineage)
-        .filter((F.col("job_id") == job_id) & (F.col("status") == "completed"))
-        .groupBy("bucket")
-        .agg(F.max("rows").alias("rows"))  # idempotent under re-committed buckets
-        .agg(F.sum("rows"))
-        .collect()[0][0]
-    )
-    print(json.dumps({**progress, "result_rows": int(n or 0)}))
+    n = committed_row_total(spark, args.lineage, job_id)
+    print(json.dumps({**progress, "result_rows": n}))
     spark.stop()
     return 0 if progress["progress"] == 1.0 else 1
 

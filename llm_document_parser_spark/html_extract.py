@@ -98,13 +98,13 @@ _HTML_MARKER_RE = re.compile(r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[
 
 
 def sniff_doc_kind(payload: bytes | None) -> str:
-    from .operators.kind import IMAGE_MAGICS
+    from .operators.kind import is_image_payload
 
     if not payload:
         return "empty"
     if payload.startswith(b"%PDF-"):
         return "pdf"
-    if any(payload.startswith(m) for m in IMAGE_MAGICS):
+    if is_image_payload(payload):
         return "image"
     head = payload[:1024].decode("utf-8", errors="replace")
     if _HTML_MARKER_RE.search(head):

@@ -134,6 +134,23 @@ def run_with_lineage(
     return job_id
 
 
+def committed_row_total(spark: SparkSession, lineage_path: str, job_id: str) -> int:
+    """Total rows in the committed result table, from the (tiny) lineage
+    table — no re-scan of results. Per bucket, the LATEST commit wins
+    (``max_by(rows, finished_at)``): a resume that re-commits a bucket with
+    fewer rows (input shrank, transform changed) partition-overwrote the
+    earlier attempt, so ``max(rows)`` would overstate the table."""
+    n = (
+        spark.read.parquet(lineage_path)
+        .filter((F.col("job_id") == job_id) & (F.col("status") == "completed"))
+        .groupBy("bucket")
+        .agg(F.max_by("rows", "finished_at").alias("rows"))
+        .agg(F.sum("rows"))
+        .collect()[0][0]
+    )
+    return int(n or 0)
+
+
 def job_progress(spark: SparkSession, lineage_path: str, job_id: str, num_buckets: int) -> dict:
     """T4 analog — progress polling from the lineage table."""
     done = completed_buckets(spark, lineage_path, job_id)

@@ -156,7 +156,9 @@ def minhash_candidate_pairs(
             & (F.col("key") == F.col("key_b"))
             & (F.col("id") < F.col("id_b")),
         )
-        .select(F.col("id").alias("id_a").cast("long"), F.col("id_b").cast("long"))
+        # ids keep their NATIVE type (url-keyed callers pass strings; a
+        # cast('long') here would null them out and silently match nothing)
+        .select(F.col("id").alias("id_a"), F.col("id_b"))
         .distinct()
     )
 
@@ -188,7 +190,7 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for b in range(16):
         term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col).cast("long"), fp.cast("long").alias("simhash"))
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +220,9 @@ def verified_near_dup_pairs(
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
     )
     sh = df.select(
-        F.col(id_col).cast("long").alias("_vid"),
+        # native id type — must match minhash_candidate_pairs' id_a/id_b
+        # (string ids under a cast('long') become NULL and join nothing)
+        F.col(id_col).alias("_vid"),
         shingles_col(F.col(text_col), shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     joined = cands.join(
@@ -254,10 +258,6 @@ def jaccard_pairs(
     jac = F.round(inter / union, 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            F.col("id_a").cast("long"),
-            F.col("id_b").cast("long"),
-            jac.alias("jaccard"),
-        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

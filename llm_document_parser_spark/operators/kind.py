@@ -17,15 +17,35 @@ _HTML_MARKER = r"(?i)<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>]"
 
 # image magic bytes (the reference dispatches on file EXTENSION,
 # src/document_parser.py:756-759; content sniffing is the crawl-scale
-# equivalent — extensions don't exist in a pages table)
+# equivalent — extensions don't exist in a pages table). Every entry must
+# be strong: either contain a non-ASCII/control byte or be ≥6 bytes, so no
+# plausible text/HTML prefix can collide ("BMW…", "GIF8 is a format…").
 IMAGE_MAGICS: tuple[bytes, ...] = (
     b"\x89PNG",      # PNG
     b"\xff\xd8\xff",  # JPEG
-    b"GIF8",          # GIF87a/89a
-    b"BM",            # BMP
+    b"GIF87a",        # GIF87a (full 6-byte signature)
+    b"GIF89a",        # GIF89a
     b"II*\x00",       # TIFF little-endian
     b"MM\x00*",       # TIFF big-endian
 )
+
+# BMP's magic is just ASCII "BM" — too weak alone. Require the
+# BITMAPFILEHEADER reserved fields (bytes 6-9) to be zero as well, which no
+# text starting with "BM" satisfies (those offsets would hold printable
+# ASCII).
+_BMP_RESERVED_ZERO = b"\x00\x00\x00\x00"
+
+
+def is_image_payload(payload: bytes) -> bool:
+    """Pure-Python image sniff — single source of truth shared with the
+    column expression below and html_extract.sniff_doc_kind (the oracle)."""
+    if any(payload.startswith(m) for m in IMAGE_MAGICS):
+        return True
+    return (
+        payload.startswith(b"BM")
+        and len(payload) >= 10
+        and payload[6:10] == _BMP_RESERVED_ZERO
+    )
 
 
 def doc_kind_col(payload: Column) -> Column:
@@ -35,6 +55,10 @@ def doc_kind_col(payload: Column) -> Column:
     is_image = F.lit(False)
     for magic in IMAGE_MAGICS:
         is_image = is_image | (F.substring(payload, 1, len(magic)) == F.lit(magic))
+    is_image = is_image | (
+        (F.substring(payload, 1, 2) == F.lit(b"BM"))
+        & (F.substring(payload, 7, 4) == F.lit(_BMP_RESERVED_ZERO))
+    )
     return (
         F.when(payload.isNull() | (F.length(payload) == 0), F.lit("empty"))
         .when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))

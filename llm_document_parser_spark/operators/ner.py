@@ -66,6 +66,20 @@ def entities_map(text: Column) -> Column:
     return F.map_from_arrays(keys, vals)
 
 
+def spacy_model_available(model: str = "en_core_web_sm") -> bool:
+    """True only when spaCy is importable AND the named model package is
+    installed. ``import spacy`` succeeding is not enough to auto-select the
+    real-NER path: ``spacy.load`` would then raise OSError on every executor
+    at runtime. Path-based/linked models that ``is_package`` can't see are
+    still usable via explicit ``use_spacy_ner=True``."""
+    if not HAS_SPACY:
+        return False
+    try:
+        return bool(spacy.util.is_package(model))
+    except Exception:
+        return False
+
+
 def _default_nlp_factory(model: str) -> Callable[[], object]:
     def factory():  # pragma: no cover - needs the real library
         # parser/lemmatizer aren't needed for .ents; dropping them is the

@@ -23,9 +23,14 @@ tests/test_hostile_payloads.py):
 
 * ``email`` carries a leading negative lookbehind on its own class: without
   it every position inside a long letter run re-consumes the remainder —
-  O(n²), minutes per 200 KB single-token line. The guard is exact: a
-  successful in-run start implies a longer leftmost match from the run
-  start, which findall already prefers.
+  O(n²), minutes per 200 KB single-token line. For any email preceded by a
+  delimiter the guard is exact (an in-run start would imply a longer
+  leftmost match, which findall already prefers). Known deviation: two
+  emails ABUTTING with no delimiter (``a@b.com2@c.net``) — the reference's
+  findall resumes after the first match and also returns ``2@c.net``; the
+  lookbehind sees the consumed ``m`` and suppresses it. Like the address
+  bounds, accepted: the suppressed "email" is a torn fragment of a
+  degenerate token, and the oracle mirrors the guard.
 * ``address`` bounds its inner spans (``[\\w\\s]{1,100}``,
   ``[A-Za-z\\s]{1,60}``, street number ≤6 digits, digit-run lookbehind) —
   the unbounded original's overlapping classes backtrack superlinearly

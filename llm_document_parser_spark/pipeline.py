@@ -30,7 +30,8 @@ from .operators.extract_udfs import payload_text_udf
 from .operators.features import features_struct
 from .operators.kind import doc_kind_col, document_type_col
 from .operators.names import holder_names_struct
-from .operators.ner import HAS_SPACY, entities_map, spacy_entities_stage
+from .operators import ner
+from .operators.ner import entities_map, spacy_entities_stage
 from .operators.patterns import patterns_map
 from .operators.textclean import clean_text_col
 
@@ -91,8 +92,10 @@ def extract_pipeline(
     ``xxhash64(url)`` so hot hosts (zipfian skew) spread uniformly — the
     moral equivalent of salting the host key (SURVEY.md §4.2 item 2).
 
-    ``use_spacy_ner``: None = auto (real spaCy NER when the library is
-    installed, rule-NER otherwise). The spaCy path adds a second Python
+    ``use_spacy_ner``: None = auto (real spaCy NER when the library AND its
+    model package are both installed — ``ner.spacy_model_available`` — rule-
+    NER otherwise; a bare ``import spacy`` success without the model would
+    otherwise OSError on every executor). The spaCy path adds a second Python
     stage AFTER the final projection — it sees only result columns, never
     the binary payload. Pattern backfill and feature person/org counts stay
     rule-based either way (they're part of the native codegen span).
@@ -100,7 +103,7 @@ def extract_pipeline(
     is how tests drive the seam without the library.
     """
     if use_spacy_ner is None:
-        use_spacy_ner = HAS_SPACY or nlp_factory is not None
+        use_spacy_ner = nlp_factory is not None or ner.spacy_model_available()
     df = pages.withColumn("doc_kind", doc_kind_col(F.col("html")))
     if repartition_to:
         df = df.repartition(repartition_to, F.xxhash64("url"))

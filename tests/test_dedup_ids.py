@@ -1,0 +1,58 @@
+"""Dedup operators must work with NATIVE id types — the module's own
+url-keyed usage pattern means string ids are first-class. A stray
+cast('long') nulls string ids and silently returns zero pairs (found in
+round-2 advice; regression-pinned here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.operators import dedup
+
+
+def _docs(spark, id_fmt):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (id_fmt(1), base),
+        (id_fmt(2), base.replace("quick ", "", 1)),  # near-dup of 1
+        (id_fmt(3), "completely different content about spark shuffles " * 6),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string") if isinstance(
+        rows[0][0], str
+    ) else spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_verified_near_dup_pairs_string_ids(spark):
+    docs = _docs(spark, lambda i: f"https://example.com/page/{i}")
+    pairs = dedup.verified_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.3
+    ).collect()
+    assert len(pairs) >= 1
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("https://example.com/page/1", "https://example.com/page/2") in found
+    for r in pairs:
+        assert r["jaccard"] >= 0.3
+
+
+def test_string_and_long_ids_agree(spark):
+    s_pairs = dedup.minhash_candidate_pairs(
+        _docs(spark, lambda i: f"url-{i}"), num_hashes=8, bands=4
+    ).collect()
+    l_pairs = dedup.minhash_candidate_pairs(
+        _docs(spark, lambda i: i), num_hashes=8, bands=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in s_pairs} == {
+        (f"url-{r['id_a']}", f"url-{r['id_b']}") for r in l_pairs
+    }
+    assert len(l_pairs) >= 1  # the planted near-dup must surface
+
+
+def test_simhash_and_jaccard_keep_native_ids(spark):
+    docs = _docs(spark, lambda i: f"url-{i}")
+    sims = dedup.simhash16(docs).collect()
+    assert {r["doc_id"] for r in sims} == {"url-1", "url-2", "url-3"}
+    jac = dedup.jaccard_pairs(docs, threshold=0.3).collect()
+    assert any(
+        (r["id_a"], r["id_b"]) == ("url-1", "url-2") and r["jaccard"] > 0.3
+        for r in jac
+    )

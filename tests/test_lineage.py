@@ -116,3 +116,24 @@ def test_completed_buckets_propagates_non_missing_errors(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         completed_buckets(spark, str(corrupt), "j")
     assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_committed_row_total_latest_commit_wins(spark, tmp_path):
+    """A bucket re-committed on resume with FEWER rows (input shrank) was
+    partition-overwritten — the latest lineage row is the truth, not the max."""
+    import datetime as dt
+
+    from llm_document_parser_spark.lineage import committed_row_total
+    from llm_document_parser_spark.schemas import LINEAGE_SCHEMA
+
+    lin = str(tmp_path / "lineage")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    t1 = dt.datetime(2026, 1, 2, 10, 0, 0)
+    rows = [
+        ("j", 0, "completed", 100, t0, t0, 1),  # first attempt: 100 rows
+        ("j", 0, "completed", 40, t1, t1, 2),   # resume overwrote with 40
+        ("j", 1, "completed", 7, t0, t0, 1),
+        ("other", 0, "completed", 999, t0, t0, 1),
+    ]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).write.parquet(lin)
+    assert committed_row_total(spark, lin, "j") == 47  # 40 + 7, not 107

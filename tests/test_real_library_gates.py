@@ -156,6 +156,56 @@ def test_pipeline_selects_spacy_stage(spark):
         assert set(r["entities"].keys()) == set(ENTITY_LABELS)
 
 
+def test_spacy_auto_select_requires_loadable_model(spark, monkeypatch):
+    """`import spacy` succeeding must NOT auto-enable the spaCy stage when
+    the model package is missing — spacy.load would OSError on every
+    executor. Auto-select keys on spacy_model_available() instead."""
+    import contextlib
+    import io
+    from types import SimpleNamespace
+
+    from llm_document_parser_spark.operators import ner
+
+    df = spark.createDataFrame(
+        [("u", None, None, "plain text", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+    # spaCy installed, model NOT installed -> rule path (no MapInPandas)
+    monkeypatch.setattr(ner, "HAS_SPACY", True)
+    monkeypatch.setattr(
+        ner, "spacy",
+        SimpleNamespace(util=SimpleNamespace(is_package=lambda m: False)),
+        raising=False,
+    )
+    assert not ner.spacy_model_available()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_pipeline(df).explain(mode="simple")
+    assert "MapInPandas" not in buf.getvalue()
+    row = extract_pipeline(df).collect()[0]  # and it runs, rule-NER end-to-end
+    assert set(row["entities"].keys()) == set(ENTITY_LABELS)
+
+    # model present -> auto-select plans the spaCy stage
+    monkeypatch.setattr(
+        ner, "spacy",
+        SimpleNamespace(util=SimpleNamespace(is_package=lambda m: m == "en_core_web_sm")),
+        raising=False,
+    )
+    assert ner.spacy_model_available()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_pipeline(df).explain(mode="simple")
+    assert "MapInPandas" in buf.getvalue()
+
+    # is_package itself blowing up degrades to the rule path, never raises
+    def broken(m):
+        raise RuntimeError("corrupt metadata")
+
+    monkeypatch.setattr(ner, "spacy", SimpleNamespace(util=SimpleNamespace(is_package=broken)), raising=False)
+    assert not ner.spacy_model_available()
+
+
 def test_pipeline_defaults_to_rule_ner_without_spacy(spark, tmp_path):
     import contextlib
     import io
@@ -188,9 +238,40 @@ def test_image_kind_sniffing():
     assert sniff_doc_kind(PNG_1PX) == "image"
     assert sniff_doc_kind(b"\xff\xd8\xff\xe0JFIF") == "image"
     assert sniff_doc_kind(b"GIF89a....") == "image"
+    assert sniff_doc_kind(b"GIF87a....") == "image"
     assert sniff_doc_kind(b"II*\x00tiff") == "image"
     assert sniff_doc_kind(b"%PDF-1.4") == "pdf"
     assert sniff_doc_kind(b"plain words") == "text"
+
+
+# real-web text that merely STARTS with a weak magic must not be routed to
+# OCR (that path extracts "" and silently drops the document)
+BMP_HEADER = b"BM" + (146).to_bytes(4, "little") + b"\x00\x00\x00\x00" + b"\x46\x00\x00\x00rest"
+
+
+def test_weak_magics_require_corroboration(spark):
+    from pyspark.sql import functions as F
+
+    from llm_document_parser_spark.html_extract import sniff_doc_kind
+    from llm_document_parser_spark.operators.kind import doc_kind_col
+
+    cases = [
+        (b"BMW Annual Report 2024: deliveries grew", "text"),
+        (b"BM<html><body>broker marketing</body></html>", "html"),
+        (BMP_HEADER, "image"),
+        (b"GIF8 is the 1987 image format family", "text"),
+        (b"GIF89a" + b"\x00" * 8, "image"),
+        (b"BM", "text"),  # bare 2 bytes: no header to validate -> not image
+    ]
+    for payload, want in cases:
+        assert sniff_doc_kind(payload) == want, payload[:20]
+    # the native column expression must agree byte-for-byte with the oracle
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, (p, _) in enumerate(cases)], "i long, payload binary"
+    )
+    got = {r["i"]: r["kind"] for r in df.select("i", doc_kind_col(F.col("payload")).alias("kind")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, cases[i][0][:20]
 
 
 def test_ocr_degrades_without_library():
