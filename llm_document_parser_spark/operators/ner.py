@@ -39,7 +39,12 @@ _CITY = "New York|Los Angeles|Chicago|Houston|Phoenix|Seattle"
 # entity label -> (java_pattern, group)
 NER_PATTERNS: dict[str, tuple[str, int]] = {
     "PERSON": (rf"\b(?:{_FIRST})\s+[A-Z][a-z]+\b", 0),
-    "ORG": (r"\b[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*)*\s+(?:Inc|LLC|Corp|Ltd|Industries|Company)\b", 0),
+    # the capitalized-word run is BOUNDED ({0,8}): Java regex executes group
+    # loops recursively, so the unbounded original StackOverflowErrors the
+    # executor on a degenerate 20k-capitalized-word line (and Python re
+    # backtracks it in O(n²)). Real org names are far under 9 words; only
+    # hostile runs change behavior (same guard class as patterns.py).
+    "ORG": (r"\b[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*){0,8}\s+(?:Inc|LLC|Corp|Ltd|Industries|Company)\b", 0),
     "GPE": (rf"\b(?:{_CITY})\b", 0),
     "DATE": (r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b", 0),
     "MONEY": (r"\$\d+(?:,\d{3})*(?:\.\d{2})?", 0),
@@ -48,13 +53,65 @@ NER_PATTERNS: dict[str, tuple[str, int]] = {
 
 ENTITY_LABELS = list(NER_PATTERNS)
 
+# ---------------------------------------------------------------------------
+# context-cued fallback tier (gazetteer-free)
+# ---------------------------------------------------------------------------
+# The lexicon above is exact on synthetic fixtures but recalls ~0 on real
+# text. These cue rules recover PERSON/GPE from CONTEXT instead of a name
+# list: label anchors (TO:/FROM:/Attn:), honorifics, "<verb> by", and
+# "City, ST 12345" shapes. Same contract as spaCy NER, no library needed
+# (reference analog: src/document_parser.py:443-460). No lookarounds —
+# each pattern compiles identically under Java regex and Python ``re``
+# (the oracle in tests/oracle_ref.py mirrors them verbatim).
+#
+# Trailing \b matters: "Ethan Williams TechNova" must yield "Ethan
+# Williams", not "Ethan Williams Tech" (no word boundary inside TechNova).
+# All group loops are BOUNDED (names ≤6 words, cue lists ≤25 names): Java's
+# recursive matcher StackOverflowErrors on unbounded loops over degenerate
+# capitalized-word runs (tests/test_hostile_payloads.py drives this shape).
+_NAME = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,5}"
+_PLACE = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)?"
+
+# (java_pattern, is_comma_list) — group 1 is always the capture; comma-list
+# captures are split on ",\s*" afterward ("TO: A B, C D, E F" → 3 persons)
+CUE_PATTERNS: dict[str, list[tuple[str, bool]]] = {
+    "PERSON": [
+        (
+            rf"\b(?:TO|FROM|CC|ATTN|ATTENTION|To|From|Attn|Attention|Staff|Attorney)"
+            rf"\s*:\s*((?:{_NAME})(?:,\s*(?:{_NAME})){{0,24}})\b",
+            True,
+        ),
+        (rf"\b(?:Mr|Mrs|Ms|Dr|Prof|Sir)\.?\s+({_NAME})\b", False),
+        (
+            rf"\b(?:[Ss]igned|[Pp]repared|[Aa]pproved|[Aa]uthorized|[Rr]eviewed|[Ss]ubmitted)"
+            rf"\s+[Bb]y\s*:?\s*({_NAME})\b",
+            False,
+        ),
+    ],
+    "GPE": [
+        (rf"\b({_PLACE}),\s*[A-Z]{{2}}\s+\d{{5}}\b", False),  # City, ST 12345
+        (rf"\b(?:City|Location)\s*:\s*({_PLACE})\b", False),
+        (
+            rf"\b(?:[Ll]ocated in|[Bb]ased in|[Hh]eadquartered in|[Cc]ity of)\s+({_PLACE})\b",
+            False,
+        ),
+    ],
+}
+
 
 def entity_matches(text: Column, label: str, dedup: bool = True) -> Column:
     """ARRAY<STRING> of matches for one entity label (order-preserving dedup,
     matching the reference's membership-check-before-append, reference:
-    src/document_parser.py:455-458)."""
+    src/document_parser.py:455-458). Concatenation order is part of the
+    spec: lexicon matches first, then each cue pattern in declaration
+    order — the oracle replicates it exactly."""
     pat, grp = NER_PATTERNS[label]
     arr = F.coalesce(F.regexp_extract_all(text, F.lit(pat), grp), F.array())
+    for cue_pat, is_list in CUE_PATTERNS.get(label, []):
+        cue = F.coalesce(F.regexp_extract_all(text, F.lit(cue_pat), 1), F.array())
+        if is_list:
+            cue = F.flatten(F.transform(cue, lambda r: F.split(r, r",\s*")))
+        arr = F.concat(arr, cue)
     return F.array_distinct(arr) if dedup else arr
 
 

@@ -131,19 +131,55 @@ _FIRST = "John|Jane|Robert|Emily|Michael|Sarah|Ethan|Olivia"
 _CITY = "New York|Los Angeles|Chicago|Houston|Phoenix|Seattle"
 NER_PATTERNS = {
     "PERSON": rf"\b(?:{_FIRST})\s+[A-Z][a-z]+\b",
-    "ORG": r"\b[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*)*\s+(?:Inc|LLC|Corp|Ltd|Industries|Company)\b",
+    # bounded run — mirrors operators/ner.py (Java StackOverflow / Python O(n²) guard)
+    "ORG": r"\b[A-Z][A-Za-z]*(?:\s+[A-Z][A-Za-z]*){0,8}\s+(?:Inc|LLC|Corp|Ltd|Industries|Company)\b",
     "GPE": rf"\b(?:{_CITY})\b",
     "DATE": r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b",
     "MONEY": r"\$\d+(?:,\d{3})*(?:\.\d{2})?",
     "PRODUCT": r"\b(?:PROD|STK|INV|CTR|JOB)-\d+\b",
 }
 
+# context-cued fallback tier — spec of operators/ner.py CUE_PATTERNS
+# (lexicon matches first, then each cue pattern in order; comma-list
+# captures split on ",\s*")
+_NAME = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,5}"
+_PLACE = r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)?"
+CUE_PATTERNS = {
+    "PERSON": [
+        (
+            rf"\b(?:TO|FROM|CC|ATTN|ATTENTION|To|From|Attn|Attention|Staff|Attorney)"
+            rf"\s*:\s*((?:{_NAME})(?:,\s*(?:{_NAME})){{0,24}})\b",
+            True,
+        ),
+        (rf"\b(?:Mr|Mrs|Ms|Dr|Prof|Sir)\.?\s+({_NAME})\b", False),
+        (
+            rf"\b(?:[Ss]igned|[Pp]repared|[Aa]pproved|[Aa]uthorized|[Rr]eviewed|[Ss]ubmitted)"
+            rf"\s+[Bb]y\s*:?\s*({_NAME})\b",
+            False,
+        ),
+    ],
+    "GPE": [
+        (rf"\b({_PLACE}),\s*[A-Z]{{2}}\s+\d{{5}}\b", False),
+        (rf"\b(?:City|Location)\s*:\s*({_PLACE})\b", False),
+        (
+            rf"\b(?:[Ll]ocated in|[Bb]ased in|[Hh]eadquartered in|[Cc]ity of)\s+({_PLACE})\b",
+            False,
+        ),
+    ],
+}
+
+
+def entity_matches_all(text: str, label: str) -> list[str]:
+    """Non-deduped match list: lexicon tier then cue tiers, in order."""
+    out = list(re.findall(NER_PATTERNS[label], text))
+    for cue_pat, is_list in CUE_PATTERNS.get(label, []):
+        for m in re.findall(cue_pat, text):
+            out.extend(re.split(r",\s*", m) if is_list else [m])
+    return out
+
 
 def extract_entities(text: str) -> dict[str, list[str]]:
-    return {
-        label: _dedup(re.findall(pat, text))
-        for label, pat in NER_PATTERNS.items()
-    }
+    return {label: _dedup(entity_matches_all(text, label)) for label in NER_PATTERNS}
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +242,7 @@ def extract_document_holder_name(text: str) -> dict:
     names: list[str] = []
     for pattern in _HOLDER_PATTERNS:
         names.extend(re.findall(pattern, text, re.IGNORECASE))
-    ner_names = _dedup(re.findall(NER_PATTERNS["PERSON"], text))
+    ner_names = _dedup(entity_matches_all(text, "PERSON"))
     all_names = _dedup(names + ner_names)
     filtered = [n for n in all_names if len(n.split()) >= 2 and len(n) > 4]
     scored = []
@@ -232,8 +268,8 @@ def extract_features(text: str) -> dict[str, int]:
         "phone_count": len(re.findall(r"(\+?\d{1,3}[-.\s]?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4})", text)),
         "currency_count": len(re.findall(r"(\$\d+(?:,\d{3})*(?:\.\d{2})?)", text)),
         "date_count": len(re.findall(r"(\d{1,2}[/-]\d{1,2}[/-]\d{2,4})", text)),
-        "person_count": len(re.findall(NER_PATTERNS["PERSON"], text)),
-        "org_count": len(re.findall(NER_PATTERNS["ORG"], text)),
+        "person_count": len(entity_matches_all(text, "PERSON")),
+        "org_count": len(entity_matches_all(text, "ORG")),
         "text_length": len(text),
     }
 
@@ -249,7 +285,7 @@ def extract_invoice_details(text: str) -> dict[str, list[str]]:
     stand-in: first PERSON with >=2 parts fills missing first/last name;
     GPE list fills missing city."""
     results = extract_with_patterns(text, "invoice")
-    persons = re.findall(NER_PATTERNS["PERSON"], text)
+    persons = entity_matches_all(text, "PERSON")
     for person in persons:
         parts = person.split()
         if len(parts) >= 2:
@@ -257,7 +293,7 @@ def extract_invoice_details(text: str) -> dict[str, list[str]]:
                 results["first_name"] = [parts[0]]
             if "last_name" not in results:
                 results["last_name"] = [parts[-1]]
-    gpes = re.findall(NER_PATTERNS["GPE"], text)
+    gpes = entity_matches_all(text, "GPE")
     if gpes and "city" not in results:
         results["city"] = gpes
     return results

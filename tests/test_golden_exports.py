@@ -188,4 +188,52 @@ def test_contract_subset_of_golden(spark, golden_contract):
     assert set(got["contacts"]["zip_code"]) <= set(golden["contacts"]["zip_code"])
 
     assert "Duke Energy Department Head Initials of Approval" in got["names"]["candidate_names"]
-    assert set(got["names"]["candidate_names"]) <= set(golden["names"]["candidate_names"])
+    # the cue-NER fallback must RECOVER every spaCy person in the prefix...
+    assert {"Christopher Wheeler", "Mike Rouker", "Christina Smith"} <= set(
+        got["names"]["candidate_names"]
+    )
+    # ...and the only extra beyond the golden list is "Heather Lacy" — a
+    # real person in the TO: line that the reference's own spaCy run MISSED
+    # (deliberate recall improvement, not a regression)
+    assert set(got["names"]["candidate_names"]) - set(
+        golden["names"]["candidate_names"]
+    ) <= {"Heather Lacy"}
+
+
+# ----------------------------------------------- cue-NER fallback recall
+
+def test_rule_ner_recall_on_real_text_without_spacy(spark, golden_contract):
+    """Round-2 gap: the lexicon-only fallback had ~0 PERSON/GPE recall on
+    any non-datagen text. The context-cued tier must recover entities from
+    the reference's own golden document — no spaCy, no gazetteer."""
+    from llm_document_parser_spark.operators.ner import entities_map
+
+    _doc, text = golden_contract
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(entities_map(F.col("t")).alias("e"))
+        .collect()[0]["e"]
+    )
+    # none of these names are in the datagen lexicon
+    assert {"Christopher Wheeler", "Mike Rouker", "Heather Lacy", "Christina Smith"} <= set(
+        row["PERSON"]
+    )
+    assert row == oracle_ref.extract_entities(text)  # Java/Python parity
+
+
+def test_cue_ner_gpe_heuristics(spark):
+    from llm_document_parser_spark.operators.ner import entities_map
+
+    text = (
+        "Acme Corp is headquartered in Portland and ships from 12 Dock Rd, "
+        "Boise, ID 83702. Location: Springfield. Contact Dr. Maria Vasquez, "
+        "signed by Omar Haddad."
+    )
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(entities_map(F.col("t")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert {"Portland", "Boise", "Springfield"} <= set(row["GPE"])
+    assert {"Maria Vasquez", "Omar Haddad"} <= set(row["PERSON"])
+    assert row == oracle_ref.extract_entities(text)

@@ -104,6 +104,11 @@ def test_adversarial_regex_inputs_stay_fast(spark):
         ("many-digit-starts", b"1 aa " * 6_400),        # 32 KB, many starts
         ("digit-run", b"7" * 100_000 + b" Main St, Denver, CO 80205"),
         ("space-words", (b"a " * 50_000)),
+        # cue-NER stress shapes: long capitalized-bigram runs and comma
+        # lists drive the _NAME/(?:,\s*NAME)* quantifiers end-to-end
+        ("cap-word-run", b"Aa " * 20_000),
+        ("cue-comma-list", b"TO: " + b"Aa Bb, " * 10_000 + b"Zz"),
+        ("cue-no-boundary", b"FROM: " + b"Aa" * 40_000),
     ]
     rows = [(f"adv://{n}", None, bytearray(p), None, "en") for n, p in payloads]
     pages = spark.createDataFrame(
