@@ -977,20 +977,162 @@ def extract_docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("extract_synthetic_pages")
-def extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extraction over the deterministic synthetic HTML/PDF/text pages table
-    (independent of sf_dir); exercises the full payload path."""
-    from .datagen import generate_pages
+# Deterministic HTML template for the oracled html-kind rows: the <nav> and
+# <footer> boilerplate is DROPPED by the extractor (subtree prune +
+# link-density), the short <title> block falls under MIN_BLOCK_CHARS, and
+# the single <p> block survives — so extracted_text == clean(text), which
+# DuckDB can compute. Changing the template invalidates the oracle.
+_SYN_HTML_PRE = (
+    '<!-- synthetic -->&nbsp;<html><head><title>Syn Page</title></head><body>'
+    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/c">Contact</a></nav>'
+    "<p>"
+)
+_SYN_HTML_POST = (
+    "</p><footer>Deterministic footer boilerplate for the synthetic page "
+    "template with padding</footer></body></html>"
+)
 
-    pages = generate_pages(spark, 200, seed=42, partitions=8)
-    res = extract_pipeline(pages, repartition_to=8)
-    return (
-        res.groupBy("doc_kind", "document_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("success"), 1).otherwise(0)).cast("long").alias("n_success"),
+
+@query(
+    "extract_synthetic_pages",
+    f"""
+    WITH based AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'html' END AS kind
+      FROM documents WHERE doc_id < 300),
+    cleaned_t AS (
+      SELECT 'syn://' || doc_id AS url, kind AS doc_kind,
+             {_clean_sql("text")} AS cleaned
+      FROM based)
+    SELECT url, doc_kind, {_DOC_TYPE_SQL} AS document_type,
+           md5(cleaned) AS text_md5,
+           CAST(length(cleaned) AS BIGINT) AS text_len,
+           length(cleaned) > 0 AS success
+    FROM cleaned_t
+    """,
+)
+def extract_synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over synthetic pages, kind-partitioned so every emitted
+    row has a DuckDB oracle: even doc_ids flow through the raw-text path,
+    odd doc_ids are wrapped in the deterministic HTML template above and
+    flow through the DOM boilerplate stripper — for both, the byte-exact
+    expected extraction is ``clean(text)``, which the oracle hashes
+    (per-url md5 = the north rule's byte-identical check inside the
+    correctness gate). The PDF payload path is NOT SQL-expressible and
+    stays pytest-side (tests/test_extraction.py byte-parity,
+    tests/test_minipdf.py)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html_payload = F.concat(
+        F.lit(_SYN_HTML_PRE), F.col("text"), F.lit(_SYN_HTML_POST)
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(html_payload)
+    pages = d.select(
+        F.concat(F.lit("syn://"), F.col("doc_id")).alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(payload, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    res = extract_pipeline(pages)
+    return res.select(
+        "url",
+        "doc_kind",
+        "document_type",
+        F.md5(F.encode("extracted_text", "UTF-8")).alias("text_md5"),
+        F.col("features.text_length").alias("text_len"),
+        "success",
+    )
+
+
+@query(
+    "curated_extraction_stats",
+    rf"""
+    WITH based AS (
+      SELECT 'syn://' || doc_id AS url,
+             CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'html' END AS kind,
+             text
+      FROM documents WHERE doc_id < 300
+      UNION ALL
+      SELECT 'dup://' || doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'html' END,
+             text
+      FROM documents WHERE doc_id < 50),
+    c AS (
+      SELECT url, kind AS doc_kind, {_clean_sql("text")} AS text FROM based),
+    m AS (
+      SELECT url, doc_kind,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS words,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             {_CURATE_HITS_SQL}, {_CURATE_BEST_SQL} AS best
+      FROM c),
+    scored AS (
+      SELECT url, doc_kind, ws_tokens,
+             {_CURATE_LANG_CASE} AS lang_pred,
+             {_CURATE_QUALITY_SQL} AS quality,
+             min(url) OVER (PARTITION BY digest) AS keep_url
+      FROM m)
+    SELECT doc_kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM scored
+    WHERE url = keep_url AND lang_pred = 'en' AND quality >= 0.8
+    GROUP BY doc_kind
+    """,
+)
+def curated_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction → curation END-TO-END in one plan: pages (raw-text and
+    HTML-template payloads, plus planted exact duplicates under dup://
+    urls) flow through the full extract_pipeline, then the curation pass
+    runs over ``extracted_text`` — exact dedup by normalized digest (window
+    keep-min-url), language gate, quality gate, per-doc_kind accounting.
+    The oracle is exact because extraction of both payload kinds is
+    provably ``clean(text)`` (see extract_synthetic_pages); the curation
+    SQL then mirrors curated_corpus_stats over that cleaned text. At scale
+    this is the shape of a crawl→training-corpus job: one Arrow stage for
+    extraction, then pure codegen + one digest shuffle for curation."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def to_pages(df: DataFrame, scheme: str) -> DataFrame:
+        payload = F.when(
+            F.col("doc_id") % 2 == 0, F.col("text")
+        ).otherwise(F.concat(F.lit(_SYN_HTML_PRE), F.col("text"), F.lit(_SYN_HTML_POST)))
+        return df.select(
+            F.concat(F.lit(scheme), F.col("doc_id")).alias("url"),
+            F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(payload, "UTF-8").alias("html"),
+            F.col("text"),
+            F.col("lang"),
         )
+
+    pages = to_pages(d, "syn://").unionByName(
+        to_pages(d.filter(F.col("doc_id") < 50), "dup://")
+    )
+    res = extract_pipeline(pages)
+    t = F.col("extracted_text")
+    scored = res.select(
+        "url",
+        "doc_kind",
+        textstats.token_count(t).alias("ws_tokens"),
+        textstats.lang_id(t).alias("lang_pred"),
+        textstats.quality_score(t).alias("quality"),
+        dedup.normalized_digest(t).alias("digest"),
+    ).withColumn("keep_url", F.min("url").over(Window.partitionBy("digest")))
+    kept = scored.filter(
+        (F.col("url") == F.col("keep_url"))
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.8)
+    )
+    return kept.groupBy("doc_kind").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
     )
 
 

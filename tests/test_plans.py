@@ -90,3 +90,17 @@ def test_curated_corpus_plan_is_fully_native(spark):
     assert "ArrowEvalPython" not in txt
     assert "BatchEvalPython" not in txt
     assert "MapInPandas" not in txt
+
+
+def test_curated_extraction_plan_shape(spark):
+    """Extraction → curation end-to-end: exactly ONE Arrow python stage
+    (the payload extractor); the downstream dedup window, gates, and agg
+    stay JVM-side codegen."""
+    txt = plan_of(REGISTRY["curated_extraction_stats"](spark, SF))
+    # Catalyst pushes the extraction project into BOTH legs of the
+    # syn://+dup:// union — two parallel Arrow stages, but every row passes
+    # Python exactly once (the invariant that matters at 100 TB)
+    assert 1 <= txt.count("ArrowEvalPython") <= 2
+    assert "Union" in txt
+    assert "BatchEvalPython" not in txt
+    assert "MapInPandas" not in txt
