@@ -1399,6 +1399,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk")
 
 
+# deterministic IVF coarse quantizer: 8 centroids from the same LCG stream
+# as the hyperplanes (rows 8-15, fresh values). In production these are the
+# PERSISTED output of similarity.ivf_centroids (KMeans) pasted as literals —
+# the catalog row proves the cell-assign/probe/rank plan cross-engine; the
+# KMeans training + recall sweep stay in tests/test_ivf_ann.py (not
+# SQL-portable).
+_IVF_CENTROIDS = _lcg_planes(16, 64)[8:]
+
+
+def _ivf_l2_sql(vec: str, c: list[float]) -> str:
+    lits = ", ".join(f"CAST({w} AS DOUBLE)" for w in c)
+    return (
+        f"list_sum(list_transform(range(1, len({vec}) + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - ([{lits}])[i]) "
+        f"* (CAST({vec}[i] AS DOUBLE) - ([{lits}])[i])))"
+    )
+
+
+def _ivf_cells_sql(vec: str, n_probe: int) -> str:
+    """n_probe nearest centroid ids by L2 — mirrors similarity._nearest_cells
+    (left-to-right fold = F.aggregate; struct sort ties break on cell id)."""
+    structs = ", ".join(
+        f"{{'dist': {_ivf_l2_sql(vec, c)}, 'cell': {i}}}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"list_transform(list_sort([{structs}])[1:{n_probe}], s -> s.cell)"
+
+
+@query(
+    "ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_ivf_cells_sql('embedding', 2)} AS cells
+               FROM embeddings WHERE vec_id < 8),
+    qe AS (SELECT query_id, qv, u.cell FROM q, unnest(q.cells) AS u(cell)),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 ({_ivf_cells_sql('embedding', 1)})[1] AS cell
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
+          FROM qe JOIN c USING (cell)
+          WHERE query_id <> neighbor_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 3
+    """,
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over persisted centroid literals: corpus rows bucket into
+    their nearest cell, queries probe their 2 nearest cells, exact cosine
+    ranks within the probed cells — cell equi-join, no cross product."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 8), e, _IVF_CENTROIDS, k=3, n_probe=2
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def _neardup_band_branch_sql(band: list[list[float]]) -> str:
     return f"""
       SELECT id_a, id_b, {_COSINE_SQL} AS score

@@ -104,3 +104,12 @@ def test_curated_extraction_plan_shape(spark):
     assert "Union" in txt
     assert "BatchEvalPython" not in txt
     assert "MapInPandas" not in txt
+
+
+def test_ivf_topk_plan_no_cross_product(spark):
+    """IVF candidates come from a cell equi-join with the (tiny) probe side
+    broadcast — never a cartesian over the corpus."""
+    txt = plan_of(REGISTRY["ivf_topk"](spark, SF))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BroadcastHashJoin" in txt
