@@ -174,3 +174,84 @@ def test_excel_export_sheets(spark, tmp_path, monkeypatch):
     assert out2["format"] == "xlsx"
     assert calls["sheets"] == ex.EXCEL_SHEETS
     assert calls["path"].endswith("export.xlsx")
+
+
+def test_excel_xlsx_writer_call_pattern(spark, tmp_path):
+    """S11 — drive the REAL ``_write_xlsx`` body (``pd.ExcelWriter`` engine
+    dispatch + per-sheet ``to_excel``) against a registered fake "openpyxl"
+    engine: pandas routes through its genuine workbook-formatting path and
+    our fake records what openpyxl would have been asked to write. Verifies
+    sheet names/order and the 32767-char Excel cell limit on Text Preview
+    (reference: src/export_manager.py:111-184, limit at :173)."""
+    import pandas as pd
+    import pandas.io.excel._util as xlutil
+    from pandas.io.excel import ExcelWriter, register_writer
+
+    from llm_document_parser_spark.datagen import generate_pages
+    from llm_document_parser_spark.operators import export as ex
+    from llm_document_parser_spark.pipeline import extract_pipeline
+
+    results = extract_pipeline(generate_pages(spark, 5, seed=23, partitions=1))
+    # pad every document's text past the Excel cell limit so the preview
+    # sheet must truncate
+    results = results.withColumn(
+        "extracted_text", F.rpad("extracted_text", 40000, "x")
+    )
+    frames = {s: df.toPandas() for s, df in ex.excel_sheet_frames(results).items()}
+
+    recorded: list[tuple] = []
+
+    class FakeOpenpyxlWriter(ExcelWriter):
+        _engine = "openpyxl"
+        _supported_extensions = (".xlsx",)
+
+        def __init__(self, path, engine=None, **kw):
+            self._book = object()
+            self._sheet_map = {}
+            super().__init__(path, engine=engine, **kw)
+
+        @property
+        def engine(self):
+            return "openpyxl"
+
+        @property
+        def supported_extensions(self):
+            return self._supported_extensions
+
+        @property
+        def book(self):
+            return self._book
+
+        @property
+        def sheets(self):
+            return self._sheet_map
+
+        def _write_cells(self, cells, sheet_name=None, startrow=0,
+                         startcol=0, freeze_panes=None):
+            recorded.append((sheet_name, [(c.row, c.col, c.val) for c in cells]))
+            self._sheet_map[sheet_name] = True
+
+        def _save(self):
+            recorded.append(("__save__", None))
+
+    orig_writers = dict(xlutil._writers)
+    try:
+        register_writer(FakeOpenpyxlWriter)
+        out_path = str(tmp_path / "export.xlsx")
+        ex._write_xlsx(frames, out_path)
+    finally:
+        xlutil._writers.clear()
+        xlutil._writers.update(orig_writers)
+
+    # one _write_cells per sheet, in EXCEL_SHEETS order, then one save
+    assert [name for name, _ in recorded] == ex.EXCEL_SHEETS + ["__save__"]
+    # header row of Document Info matches the frame's columns, index omitted
+    info_cells = recorded[0][1]
+    header = [v for r, c, v in info_cells if r == 0]
+    assert header == ["url", "document_type", "doc_kind", "crawled_at", "text_length"]
+    # every Text Preview payload cell obeys the Excel cell limit, and the
+    # padded document was truncated to exactly the limit
+    prev_cells = recorded[3][1]
+    lens = [len(v) for r, c, v in prev_cells if r > 0 and c == 1]
+    assert max(lens) == ex.EXCEL_CELL_LIMIT
+    assert all(n <= ex.EXCEL_CELL_LIMIT for n in lens)
