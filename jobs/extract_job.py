@@ -29,6 +29,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from llm_document_parser_spark.iceberg import load_pages
 from llm_document_parser_spark.lineage import (
     committed_row_total,
     job_progress,
@@ -40,7 +41,10 @@ from llm_document_parser_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages table path (parquet)")
+    ap.add_argument(
+        "--input", required=True,
+        help="pages table: parquet path or Iceberg identifier catalog.db.pages",
+    )
     ap.add_argument("--output", required=True, help="results table path")
     ap.add_argument("--lineage", required=True, help="lineage table path")
     ap.add_argument("--job-id", default=None, help="stable id for resume")
@@ -62,7 +66,9 @@ def main(argv: list[str] | None = None) -> int:
 
         write_pages(spark, args.input, args.generate, seed=42)
 
-    pages = spark.read.parquet(args.input)
+    # parquet path or Iceberg table identifier (catalog.db.pages) — the
+    # north-rule input format, dispatched by llm_document_parser_spark.iceberg
+    pages = load_pages(spark, args.input)
 
     def transform(df):
         return extract_pipeline(df, repartition_to=args.repartition)
