@@ -109,12 +109,29 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Plan shape at scale: narrow per-row signature compute → explode bands
     (×bands rows) → shuffle by (band, key) → within-bucket self-join →
     distinct. No cross product anywhere.
+
+    ``hash_fn``: ``"md5"`` (default) keeps signatures reproducible in the
+    ANSI-SQL oracle (min over md5 hex strings); ``"fast"`` uses seeded
+    ``xxhash64`` longs — no hex materialization, long mins instead of
+    string mins — the production choice at corpus scale (same banding
+    semantics, different hash family, so candidate sets differ in the
+    usual LSH-probabilistic way).
+
+    Parameter note (measured, BENCH notes): ``rows_per_band = num_hashes /
+    bands`` sets the LSH S-curve threshold ≈ ``(1/bands)^(1/r)``. Web-like
+    corpora carry a heavy mass of boilerplate pairs at Jaccard 0.2-0.45,
+    so shallow bands (r=2: threshold 0.5, loose curve) admit a
+    near-cross-product of sub-threshold junk — 50k synthetic pages
+    produced 47M candidates at r=2 vs 275k at r=8 with the same corpus.
+    Production near-dup passes should run r≥4 (r=8 → threshold ≈0.77,
+    the standard near-dup operating point).
     """
     rows_per_band = num_hashes // bands
     # explode shingles then agg per-hash minima: one narrow pass + one
@@ -128,17 +145,28 @@ def minhash_candidate_pairs(
             F.explode(shingles_col(F.col(text_col), shingle_k)).alias("s"),
         )
     )
-    sig_df = sh.groupBy("id").agg(
-        *[
+    if hash_fn == "fast":
+        mins = [
+            F.min(F.xxhash64(F.lit(h), F.col("s"))).alias(f"m{h}")
+            for h in range(num_hashes)
+        ]
+    else:
+        mins = [
             F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"m{h}")
             for h in range(num_hashes)
         ]
-    )
+    sig_df = sh.groupBy("id").agg(*mins)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                "|", *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+                "|",
+                *[
+                    # explicit cast: 'fast' signatures are longs, and ANSI
+                    # mode won't implicitly cast them for concat_ws
+                    F.col(f"m{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             ).alias("key"),
         )
         for b in range(bands)
@@ -206,6 +234,7 @@ def verified_near_dup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The full production near-dup composition: banded MinHash candidate
     generation (bucket equi-join, no cross product) followed by exact
@@ -218,6 +247,7 @@ def verified_near_dup_pairs(
     cands = minhash_candidate_pairs(
         df, id_col=id_col, text_col=text_col,
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        hash_fn=hash_fn,
     )
     sh = df.select(
         # native id type — must match minhash_candidate_pairs' id_a/id_b
@@ -260,4 +290,73 @@ def jaccard_pairs(
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sub-document (paragraph-level) corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup with document reassembly
+    (the C4/RefinedWeb-style sub-document pass: a boilerplate paragraph
+    repeated across thousands of pages is kept exactly once, in its
+    first-occurring position).
+
+    Explode paragraphs (split on ``sep``, trimmed, empties dropped), keep
+    the first occurrence of each md5 digest corpus-wide (first = lowest
+    (id, position) — deterministic), and reassemble each document from its
+    surviving paragraphs in original order. Documents whose every
+    paragraph appeared earlier elsewhere come back with empty text —
+    downstream gates drop them.
+
+    Scale shape: one explode, one window keyed on the digest (hash
+    shuffle, AQE-coalesced; hot digests are single-key groups processed as
+    one partition each — salting is unnecessary because the window only
+    ranks by (id, position) and the 99.9th-percentile digest group is tiny
+    compared to a partition), one groupBy(id) to reassemble. No cross
+    products, no Python.
+    """
+    import re as _re
+
+    base = df.select(F.col(id_col).alias("_pid"), F.col(text_col).alias("_text"))
+    paras = (
+        base.select(
+            "_pid",
+            F.posexplode(F.split("_text", _re.escape(sep))).alias("idx", "raw"),
+        )
+        .select("_pid", "idx", F.trim("raw").alias("para"))
+        .filter(F.col("para") != "")
+    )
+    from pyspark.sql import Window
+
+    first_seen = Window.partitionBy(F.md5("para")).orderBy("_pid", "idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(first_seen))
+        .filter(F.col("rn") == 1)
+    )
+    reassembled = kept.groupBy("_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("deduped_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        base.select("_pid")
+        .join(reassembled, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )

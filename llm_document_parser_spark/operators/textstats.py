@@ -9,7 +9,9 @@ cross-engine equality doesn't matter.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deliberately tiny, deterministic stopword lexicons for the n-gram/stopword
@@ -88,3 +90,109 @@ def fingerprint(text: Column) -> Column:
     (portable rolling-hash stand-in; see dedup.simhash_bits for the
     locality-sensitive variant)."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters), the standard web-corpus quality gate that
+    ``quality_score`` doesn't cover: boilerplate-heavy and spam pages show
+    high duplicate-line and top-n-gram fractions.
+
+    Per document: ``n_units`` (non-empty trimmed units split on
+    ``unit_sep`` — lines by default; pass ``" "`` for token-level
+    duplication on single-line corpora), ``dup_unit_frac`` (fraction of
+    units that are repeats), ``dup_unit_char_frac`` (fraction of unit
+    characters inside repeated units), and the most frequent word bigram
+    with its count and character-coverage fraction of the whole text.
+
+    Shape: two explodes, two hash aggregations, one window over
+    (id, bigram-count) — all native, shuffles keyed on the id so AQE
+    coalesces them; no per-row Python and no cross products, so the plan
+    holds at corpus scale. Documents with zero non-empty units (empty
+    text) have no repetition signal and are dropped from the output —
+    gate on length upstream.
+    """
+    base = df.select(
+        F.col(id_col).alias("_rid"), F.col(text_col).alias("_text")
+    )
+    sep_pat = re.escape(unit_sep)
+
+    units = base.select(
+        "_rid",
+        F.explode(
+            F.filter(
+                F.transform(F.split("_text", sep_pat), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("unit"),
+    )
+    unit_counts = units.groupBy("_rid", "unit").agg(
+        F.count("*").alias("c")
+    ).withColumn("chars", F.length("unit"))
+    unit_stats = unit_counts.groupBy("_rid").agg(
+        F.sum("c").cast("long").alias("n_units"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 6).alias("dup_unit_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("chars")).otherwise(0))
+            / F.greatest(F.sum(F.col("c") * F.col("chars")), F.lit(1)),
+            6,
+        ).alias("dup_unit_char_frac"),
+    )
+
+    toks = F.filter(F.split(F.lower(F.col("_text")), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigram_counts = (
+        base.select("_rid", F.explode(bigrams).alias("bigram"))
+        .groupBy("_rid", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    top = (
+        bigram_counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_rid").orderBy(
+                    F.col("c").desc(), F.col("bigram")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "_rid",
+            F.col("bigram").alias("top_bigram"),
+            F.col("c").alias("top_c"),
+        )
+    )
+
+    return (
+        base.select("_rid", F.length("_text").alias("_text_len"))
+        .join(unit_stats, "_rid")
+        .join(top, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            "n_units",
+            "dup_unit_frac",
+            "dup_unit_char_frac",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("long").alias(
+                "top_bigram_count"
+            ),
+            F.round(
+                F.coalesce(F.col("top_c") * F.length("top_bigram"), F.lit(0))
+                / F.greatest(F.col("_text_len"), F.lit(1)),
+                6,
+            ).alias("top_bigram_char_frac"),
+        )
+    )

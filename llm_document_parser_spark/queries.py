@@ -578,6 +578,108 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_repetition_stats",
+    r"""
+    WITH units AS (
+      SELECT doc_id, trim(u) AS unit
+      FROM documents, unnest(string_split(text, ' ')) AS t(u)
+      WHERE trim(u) <> ''
+    ),
+    unit_counts AS (
+      SELECT doc_id, unit, count(*) AS c, length(unit) AS chars
+      FROM units GROUP BY doc_id, unit
+    ),
+    unit_stats AS (
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_units,
+             round(1.0 - count(*) / sum(c), 6) AS dup_unit_frac,
+             round(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) * 1.0
+                   / greatest(sum(c * chars), 1), 6) AS dup_unit_char_frac
+      FROM unit_counts GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    bigram_counts AS (
+      SELECT doc_id, b, count(*) AS c
+      FROM toks, unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i+1])) AS t(b)
+      GROUP BY doc_id, b
+    ),
+    top_bigram AS (
+      SELECT doc_id, b, c
+      FROM (SELECT doc_id, b, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, b) AS rn
+            FROM bigram_counts)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           u.n_units,
+           u.dup_unit_frac,
+           u.dup_unit_char_frac,
+           coalesce(t.b, '') AS top_bigram,
+           coalesce(t.c, 0)::BIGINT AS top_bigram_count,
+           round(coalesce(t.c * length(t.b), 0) * 1.0
+                 / greatest(length(d.text), 1), 6) AS top_bigram_char_frac
+    FROM documents d
+    JOIN unit_stats u USING (doc_id)
+    LEFT JOIN top_bigram t USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (textstats.repetition_stats)
+    at token granularity — the documents table is single-line, so units are
+    tokens here; line-granularity runs over multi-line pages corpora in
+    tests/test_textstats_repetition.py."""
+    return textstats.repetition_stats(
+        _t(spark, sf_dir, "documents"), unit_sep=" "
+    )
+
+
+@query(
+    "paragraph_dedup_docs",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    lists AS (
+      SELECT doc_id, string_split(text, chr(10)) AS l FROM all_docs
+    ),
+    paras AS (
+      SELECT doc_id, i, trim(l[i]) AS para
+      FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+      WHERE trim(l[i]) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, i, para
+      FROM (SELECT doc_id, i, para,
+                   row_number() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, i) AS rn
+            FROM paras)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.para, chr(10) ORDER BY k.i), '')
+             AS deduped_text,
+           count(k.para)::BIGINT AS n_kept
+    FROM all_docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup with reassembly (dedup.dedup_paragraphs)
+    over the planted-duplicate corpus: each planted clone's only paragraph
+    already occurred at the original doc_id, so clones come back empty."""
+    return dedup.dedup_paragraphs(_docs_with_exact_dups(spark, sf_dir))
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

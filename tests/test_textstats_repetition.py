@@ -1,0 +1,80 @@
+"""Gopher-style repetition signals + paragraph-level corpus dedup
+(textstats.repetition_stats / dedup.dedup_paragraphs) at line granularity —
+the catalog queries exercise token granularity over the single-line
+documents table; these cover the multi-line semantics."""
+
+from __future__ import annotations
+
+from llm_document_parser_spark.operators.dedup import dedup_paragraphs
+from llm_document_parser_spark.operators.textstats import repetition_stats
+
+
+def test_repetition_stats_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma delta"),
+            (2, "one two three"),
+            (3, "x\n\n  \nx\ny"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_units"] == 3
+    assert r1["dup_unit_frac"] == 0.333333  # 1 - 2 distinct / 3 lines
+    # 'alpha beta' (10 chars) appears twice → 20 of 31 unit chars duplicated
+    assert r1["dup_unit_char_frac"] == 0.645161
+    assert r1["top_bigram"] == "alpha beta"
+    assert r1["top_bigram_count"] == 2
+    # 2 * len('alpha beta') / len(text) = 20/33
+    assert r1["top_bigram_char_frac"] == 0.606061
+
+    r2 = rows[2]
+    assert r2["n_units"] == 1
+    assert r2["dup_unit_frac"] == 0.0
+    assert r2["dup_unit_char_frac"] == 0.0
+    # all bigrams tie at 1; lexicographically first wins deterministically
+    assert r2["top_bigram"] == "one two"
+
+    r3 = rows[3]
+    # blank/whitespace-only lines dropped: units are x, x, y
+    assert r3["n_units"] == 3
+    assert r3["dup_unit_frac"] == 0.333333
+    assert r3["dup_unit_char_frac"] == 0.666667
+
+
+def test_repetition_stats_degenerate(spark):
+    docs = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    r = repetition_stats(docs).collect()[0]
+    assert r["n_units"] == 1
+    assert r["top_bigram"] == ""  # <2 tokens → no bigram
+    assert r["top_bigram_count"] == 0
+    assert r["top_bigram_char_frac"] == 0.0
+
+
+def test_dedup_paragraphs_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\ncommon footer\nbody one"),
+            (2, "body two\ncommon footer"),
+            (3, "common footer"),
+            (4, ""),
+            (5, "dup\ndup\nunique"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+
+    # first occurrences all survive, original order preserved
+    assert rows[1]["deduped_text"] == "intro\ncommon footer\nbody one"
+    assert rows[1]["n_kept"] == 3
+    # 'common footer' first occurred in doc 1 → removed downstream
+    assert rows[2]["deduped_text"] == "body two"
+    assert rows[2]["n_kept"] == 1
+    assert rows[3]["deduped_text"] == ""
+    assert rows[3]["n_kept"] == 0
+    assert rows[4]["deduped_text"] == ""
+    # within-document repeats collapse to the first position too
+    assert rows[5]["deduped_text"] == "dup\nunique"
+    assert rows[5]["n_kept"] == 2
