@@ -481,6 +481,78 @@ def synth_invoice_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "synth_invoice_spans",
+    r"""
+    WITH synth AS (
+      SELECT o_orderkey,
+             printf('INVOICE #INV-%d Total: $%.2f Quantity: %d',
+                    o_orderkey, o_totalprice, o_orderkey % 7 + 1) AS text
+      FROM orders WHERE o_orderkey < 2000),
+    vals AS (
+      SELECT o_orderkey, text,
+             regexp_extract(text, '(?i)(?:total|amount due|balance):?\s*(\$\d+(?:\.\d{2})?)', 1) AS total_amount,
+             regexp_extract(text, '(?i)(?:quantity|qty):?\s*(\d+)', 1) AS qty
+      FROM synth)
+    SELECT o_orderkey, field,
+           span_start::BIGINT AS span_start, span_end::BIGINT AS span_end
+    FROM (
+      SELECT o_orderkey, 'total_amount' AS field,
+             strpos(text, total_amount) - 1 AS span_start,
+             strpos(text, total_amount) - 1 + length(total_amount) AS span_end
+      FROM vals
+      UNION ALL
+      SELECT o_orderkey, 'qty',
+             strpos(text, qty) - 1,
+             strpos(text, qty) - 1 + length(qty)
+      FROM vals)
+    WHERE span_start >= 0
+    """,
+)
+def synth_invoice_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star span output oracled end-to-end: the pipeline's
+    text_spans_col (first-occurrence character span of each extracted
+    field's first value, 0-based end-exclusive — pipeline.py:56) over the
+    synthesized invoice text, exploded to one row per (url-key, field).
+    DuckDB reproduces the spans with strpos over identically-extracted
+    values, so span arithmetic is verified value-for-value cross-engine."""
+    from .pipeline import text_spans_col
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    text = F.format_string(
+        "INVOICE #INV-%d Total: $%.2f Quantity: %d",
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderkey") % 7 + 1,
+    )
+    synth = o.select("o_orderkey", text.alias("text"))
+    pats = F.map_from_arrays(
+        F.array(F.lit("total_amount"), F.lit("qty")),
+        F.array(
+            F.array(
+                F.regexp_extract(
+                    "text",
+                    r"(?i)(?:total|amount due|balance):?\s*(\$\d+(?:\.\d{2})?)",
+                    1,
+                )
+            ),
+            F.array(F.regexp_extract("text", r"(?i)(?:quantity|qty):?\s*(\d+)", 1)),
+        ),
+    )
+    return (
+        synth.select(
+            "o_orderkey",
+            F.explode(text_spans_col(F.col("text"), pats)).alias("sp"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("sp.field").alias("field"),
+            F.col("sp.start").alias("span_start"),
+            F.col("sp.end").alias("span_end"),
+        )
+    )
+
+
 # ===========================================================================
 # text analysis (training-data pipeline tier)
 # ===========================================================================
