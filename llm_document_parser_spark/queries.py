@@ -651,6 +651,112 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "canonical_url_stats",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTP://WWW.' || source || '.Example.COM:80/a/b/page/'
+                      || doc_id || '/?utm_source=feed&id=' || doc_id
+                      || '&utm_campaign=x#top'
+          WHEN 1 THEN 'https://' || source || '.example.com/path/' || doc_id
+          WHEN 2 THEN 'https://cdn.' || source
+                      || '.example.com:443//x/?fbclid=abc'
+          ELSE 'http://' || source || '.example.com/a//b/?id=' || doc_id
+               || '&utm_medium=em'
+        END AS u
+      FROM documents),
+    parts0 AS (
+      SELECT doc_id,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+          AS hostport,
+        regexp_replace(
+          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
+          '#.*$', '', 'g') AS rest
+      FROM urls),
+    parts AS (
+      SELECT doc_id, scheme, rest,
+        CASE scheme
+          WHEN 'http' THEN regexp_replace(hostport, ':80$', '', 'g')
+          WHEN 'https' THEN regexp_replace(hostport, ':443$', '', 'g')
+          ELSE hostport END AS host
+      FROM parts0),
+    pq AS (
+      SELECT doc_id, scheme, host,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                       '/{2,}', '/', 'g') AS collapsed,
+        regexp_replace(
+          regexp_replace('&' || regexp_extract(rest, '\?(.*)$', 1),
+                         '&(?:utm_[A-Za-z_]*|fbclid)=[^&]*', '', 'g'),
+          '^&', '', 'g') AS query
+      FROM parts),
+    norm AS (
+      SELECT doc_id, scheme, host, query,
+        CASE WHEN collapsed = '' THEN '/'
+             WHEN collapsed = '/' THEN '/'
+             ELSE regexp_replace(collapsed, '/$', '', 'g') END AS path
+      FROM pq)
+    SELECT doc_id,
+      CASE WHEN scheme <> '' AND host <> '' THEN
+        scheme || '://' || host || path
+        || CASE WHEN query <> '' THEN '?' || query ELSE '' END
+      END AS canonical_url,
+      host,
+      len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT AS depth
+    FROM norm
+    """,
+)
+def canonical_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py) over deterministically
+    messy synthesized URLs: mixed-case scheme/host, default ports,
+    tracking params (utm_*/fbclid), fragments, duplicate and trailing
+    slashes — canonical form, host, and path depth verified
+    value-for-value cross-engine."""
+    from .operators import urls as U
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    u = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.col("source"),
+                F.lit(".Example.COM:80/a/b/page/"), did,
+                F.lit("/?utm_source=feed&id="), did,
+                F.lit("&utm_campaign=x#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/path/"), did,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://cdn."), F.col("source"),
+                F.lit(".example.com:443//x/?fbclid=abc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/a//b/?id="), did, F.lit("&utm_medium=em"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        U.canonical_url(u).alias("canonical_url"),
+        U.host_of(u).alias("host"),
+        U.url_depth(u).alias("depth"),
+    )
+
+
+@query(
     "doc_repetition_stats",
     r"""
     WITH units AS (

@@ -113,3 +113,23 @@ def test_ivf_topk_plan_no_cross_product(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_repetition_and_paragraph_dedup_fully_native(spark):
+    """The round-3 curation operators are always-on corpus passes: zero
+    Python stages, no cross products — explode/agg/window only."""
+    for name in ("doc_repetition_stats", "paragraph_dedup_docs"):
+        txt = plan_of(REGISTRY[name](spark, SF))
+        assert "ArrowEvalPython" not in txt, name
+        assert "BatchEvalPython" not in txt, name
+        assert "MapInPandas" not in txt, name
+        assert "CartesianProduct" not in txt, name
+        assert "BroadcastNestedLoopJoin" not in txt, name
+
+
+def test_canonical_url_fully_native(spark):
+    """URL canonicalization is a narrow per-row projection: no Python, no
+    joins, no exchanges at all — it must fuse into the scan's codegen."""
+    txt = plan_of(REGISTRY["canonical_url_stats"](spark, SF))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"):
+        assert bad not in txt

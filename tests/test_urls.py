@@ -1,0 +1,68 @@
+"""URL canonicalization spec (operators/urls.py) — edge cases beyond the
+oracle-checked catalog query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.operators import urls as U
+
+
+def _canon(spark, url):
+    return (
+        spark.range(1)
+        .select(
+            U.canonical_url(F.lit(url)).alias("c"),
+            U.host_of(F.lit(url)).alias("h"),
+            U.url_depth(F.lit(url)).alias("d"),
+        )
+        .collect()[0]
+    )
+
+
+def test_canonical_url_spec(spark):
+    r = _canon(
+        spark,
+        "HTTP://WWW.News.Example.COM:80/a//b/Story/?utm_source=x&id=7&utm_campaign=y#frag",
+    )
+    assert r["c"] == "http://www.news.example.com/a/b/Story?id=7"
+    assert r["h"] == "www.news.example.com"
+    assert r["d"] == 3
+
+    # path case preserved, 443 stripped on https, all-tracking query dropped
+    r = _canon(spark, "https://Host.example:443/Mixed/Case/?fbclid=abc")
+    assert r["c"] == "https://host.example/Mixed/Case"
+
+    # bare root path stays '/', empty path becomes '/'
+    assert _canon(spark, "https://h.example/")["c"] == "https://h.example/"
+    assert _canon(spark, "https://h.example")["c"] == "https://h.example/"
+    assert _canon(spark, "https://h.example")["d"] == 0
+
+    # non-default port kept; non-tracking query preserved verbatim
+    r = _canon(spark, "http://h.example:8080/p?b=2&a=1")
+    assert r["c"] == "http://h.example:8080/p?b=2&a=1"
+    assert r["h"] == "h.example:8080"
+
+    # :443 is only default for https — http keeps it (and vice versa)
+    assert _canon(spark, "http://h.example:443/p")["h"] == "h.example:443"
+    assert _canon(spark, "https://h.example:80/p")["h"] == "h.example:80"
+
+
+def test_canonical_url_invalid(spark):
+    assert _canon(spark, "not a url")["c"] is None
+    assert _canon(spark, "/relative/path")["c"] is None
+    assert _canon(spark, "not a url")["h"] == ""
+
+
+def test_same_page_same_bucket(spark):
+    """The property the pass exists for: tracking-param and case variants
+    of one page canonicalize identically (same url-hash bucket)."""
+    variants = [
+        "https://shop.example.com/item/42?utm_source=mail",
+        "HTTPS://SHOP.example.com:443/item/42/",
+        "https://shop.example.com//item//42/#reviews",
+    ]
+    out = {
+        _canon(spark, v)["c"] for v in variants
+    }
+    assert out == {"https://shop.example.com/item/42"}
