@@ -31,6 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * _CPUS}g")
 os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+# measured batch sweep at 1M pages (BENCH/BASELINE.md): 8192-row Arrow
+# batches cut extract wall-clock ~15% vs the 2048 default on this
+# small-payload corpus (~1-2 KB/page → ~16 MB/batch). The library default
+# stays 2048 because a 100 KB-median real-web corpus would put ~800 MB per
+# in-flight batch per worker at 8192.
+os.environ.setdefault("SPARK_GRAFT_ARROW_BATCH", "8192")
 
 from llm_document_parser_spark.datagen import write_pages  # noqa: E402
 from llm_document_parser_spark.operators import dedup  # noqa: E402
