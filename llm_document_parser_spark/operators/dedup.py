@@ -360,3 +360,101 @@ def dedup_paragraphs(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components over candidate/verified pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every id in ``pairs``; ``component`` is the
+    minimum id reachable over the undirected pair graph — the canonical
+    keep-id of the near-dup cluster. Pair ENUMERATION is quadratic in
+    cluster size; the dedup decision needs this clustering instead: keep
+    ``id == component``, drop the rest.
+
+    Min-label propagation to fixpoint: each iteration joins labels across
+    edges and takes the per-node minimum. Iterations = cluster diameter
+    (near-dup clusters are shallow — boilerplate families link through
+    hubs), each iteration one equi-join + one agg, all distributed, no
+    driver-side data. ``localCheckpoint`` truncates lineage every
+    iteration so the plan doesn't grow superlinearly (on a cluster this
+    re-computes from the checkpointed blocks, the standard iterative-graph
+    pattern; GraphFrames does the same under the hood).
+
+    Deterministic: the fixpoint (min reachable id per node) is unique
+    regardless of join order. Raises after ``max_iterations`` without
+    convergence (pathological chain longer than the limit) rather than
+    returning a partial clustering.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        propagated = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .unionByName(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = propagated
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The corpus dedup DECISION: every document labeled with its near-dup
+    cluster's canonical keep-id (its own id when unique). Composition:
+    banded MinHash candidates → connected components → left join back so
+    singletons label themselves. Downstream keeps ``id == component``."""
+    pairs = minhash_candidate_pairs(
+        df, id_col=id_col, text_col=text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        hash_fn=hash_fn,
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+    )

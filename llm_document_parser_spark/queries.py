@@ -1051,6 +1051,44 @@ def verified_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verified_near_dup_pairs(both, num_hashes=8, bands=4, threshold=0.5)
 
 
+_CLUSTERS_ORACLE = _MINHASH_ORACLE.replace(
+    "WITH base AS", "WITH RECURSIVE base AS"
+).replace(
+    "SELECT DISTINCT a.id AS id_a, b.id AS id_b\n"
+    "    FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id",
+    """, cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.id < b.id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+    SELECT b.id AS doc_id, coalesce(c.component, b.id)::BIGINT AS component
+    FROM base b LEFT JOIN comp c ON b.id = c.id""",
+)
+
+
+@query("near_dup_clusters", _CLUSTERS_ORACLE)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dedup DECISION (dedup.near_dup_clusters): every document
+    labeled with its near-dup cluster's canonical keep-id — MinHash-LSH
+    candidate pairs → distributed min-label connected components →
+    singletons label themselves. The oracle computes the same fixpoint
+    with a recursive CTE (transitive min-label closure), so the iterative
+    Spark loop is verified value-for-value, not just rows-only."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(mutated)
+    return dedup.near_dup_clusters(both, num_hashes=8, bands=4)
+
+
 def _simhash_oracle() -> str:
     votes = []
     for b in range(16):

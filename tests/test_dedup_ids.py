@@ -84,3 +84,30 @@ def test_fast_hash_fn_matches_md5_semantics(spark):
         dup, num_hashes=16, bands=8, hash_fn="fast"
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
+
+
+def test_connected_components_multi_hop(spark):
+    """Chains need repeated propagation (diameter > 1) — the min label
+    must flow the whole way; disjoint clusters stay disjoint."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("url-b", "url-a"), ("url-b", "url-c")], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {"url-a": "url-a", "url-b": "url-a", "url-c": "url-a"}
+
+
+def test_near_dup_clusters_singletons_self_label(spark):
+    docs = _docs(spark, lambda i: f"url-{i}")
+    out = {r["doc_id"]: r["component"] for r in dedup.near_dup_clusters(docs).collect()}
+    # near-dups url-1/url-2 share the min id; url-3 is its own cluster
+    assert out["url-1"] == out["url-2"] == "url-1"
+    assert out["url-3"] == "url-3"
