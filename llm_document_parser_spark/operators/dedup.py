@@ -1,13 +1,18 @@
 """Deduplication operators for training-data pipelines, at Spark scale.
 
-Four families, each a composition of built-in DataFrame ops (no UDFs):
+Six families, each a composition of built-in DataFrame ops (no UDFs):
 
 * exact           — hash-groupBy on a normalized-text digest
-* minhash + LSH   — shingle → k md5-min signatures → banded keys →
-                    bucket self-join for candidate pairs
+* minhash + LSH   — shingle → k min-hash signatures (md5 oracle-portable
+                    or xxhash64 fast) → banded keys → bucket self-join
+                    for candidate pairs
 * simhash         — 16-bit majority-vote fingerprint from token hashes
 * n-gram Jaccard  — exact pairwise similarity (verification-tier; run it on
                     LSH candidates, never the cross product, at scale)
+* paragraph dedup — corpus-wide sub-document exact dedup with reassembly
+* clustering      — connected components over candidate/verified pairs:
+                    the keep/drop decision (pair enumeration is quadratic
+                    in cluster size; the decision is linear)
 
 Hash primitive is md5 hex (portable to the ANSI-SQL oracle). Shingling and
 signatures are per-row higher-order functions — zero shuffles until the one
