@@ -1089,6 +1089,161 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_clusters(both, num_hashes=8, bands=4)
 
 
+# the full modern curation cascade: 16-hash / 2-band (r=8) minhash →
+# Jaccard-verified ≥0.8 pairs → connected components → keep-id decision,
+# then language / quality / repetition gates, with per-source funnel
+# accounting. SQL assembled from the already-validated fragment families.
+_FUNNEL_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{h}:' || s)))" for h in range(16)
+) + "]"
+_FUNNEL_KEY_SQL = " || '|' || ".join(f"sg[8*b+{r+1}]" for r in range(8))
+_FUNNEL_JACCARD_SQL = (
+    "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+    " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)"
+)
+
+_FUNNEL_ORACLE = rf"""
+    WITH RECURSIVE all_docs AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+      WHERE doc_id < 50),
+    tok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM all_docs),
+    shg AS (SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+            FROM tok WHERE len(tk) >= 3),
+    sig AS (SELECT doc_id, {_FUNNEL_SIG_SQL} AS sg FROM shg),
+    band AS (SELECT doc_id, b, {_FUNNEL_KEY_SQL} AS key
+             FROM sig CROSS JOIN (SELECT UNNEST(range(0, 2)) AS b) u),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM band a JOIN band b
+             ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.id_a, c.id_b
+            FROM cand c JOIN shg x ON x.doc_id = c.id_a
+                        JOIN shg y ON y.doc_id = c.id_b
+            WHERE {_FUNNEL_JACCARD_SQL} >= 0.8),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+              UNION SELECT id_b, id_a FROM ver),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+    comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+    units AS (
+      SELECT doc_id, trim(un) AS unit
+      FROM all_docs, unnest(string_split(text, ' ')) AS t(un)
+      WHERE trim(un) <> ''),
+    unit_counts AS (
+      SELECT doc_id, unit, count(*) AS c FROM units GROUP BY doc_id, unit),
+    rep AS (
+      SELECT doc_id, round(1.0 - count(*) / sum(c), 6) AS dup_unit_frac
+      FROM unit_counts GROUP BY doc_id),
+    m AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS words,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             {_CURATE_HITS_SQL}, {_CURATE_BEST_SQL} AS best
+      FROM all_docs),
+    scored AS (
+      SELECT m.source, m.doc_id, m.ws_tokens,
+             {_CURATE_LANG_CASE} AS lang_pred,
+             {_CURATE_QUALITY_SQL} AS quality,
+             coalesce(c.component, m.doc_id) AS component,
+             r.dup_unit_frac
+      FROM m LEFT JOIN comp c ON m.doc_id = c.id
+             JOIN rep r ON m.doc_id = r.doc_id),
+    verdicts AS (
+      SELECT source, ws_tokens,
+             CASE WHEN component <> doc_id THEN 'near_dup'
+                  WHEN lang_pred <> 'en' THEN 'lang'
+                  WHEN quality < 0.8 THEN 'quality'
+                  WHEN dup_unit_frac > 0.6 THEN 'repetition'
+                  ELSE 'kept' END AS verdict
+      FROM scored)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_input,
+           CAST(sum(CASE WHEN verdict = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN verdict = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN verdict = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN verdict = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM verdicts
+    GROUP BY source
+"""
+
+
+@query("curation_funnel", _FUNNEL_ORACLE)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation cascade in ONE composed job — the
+    RefinedWeb/Gopher-shaped pass a 100 TB pipeline runs end-to-end:
+    Jaccard-verified (≥0.8) MinHash near-dup pairs at the r=8 production
+    geometry → connected-components keep-id decision → language gate →
+    quality gate → repetition gate, with disjoint per-source funnel
+    accounting (every document lands in exactly one verdict bucket).
+    Verified value-for-value against a DuckDB oracle that replays the
+    identical cascade including the recursive-CTE component closure."""
+    d = _t(spark, sf_dir, "documents")
+    all_docs = d.select("doc_id", "text", "source").unionByName(
+        d.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source"
+        )
+    )
+    pairs = dedup.verified_near_dup_pairs(
+        all_docs, num_hashes=16, bands=2, threshold=0.8
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    rep = textstats.repetition_stats(all_docs, unit_sep=" ").select(
+        "doc_id", "dup_unit_frac"
+    )
+    text = F.col("text")
+    scored = (
+        all_docs.select(
+            "source",
+            "doc_id",
+            textstats.token_count(text).alias("ws_tokens"),
+            textstats.lang_id(text).alias("lang_pred"),
+            textstats.quality_score(text).alias("quality"),
+        )
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .join(rep, "doc_id")
+    )
+    verdict = (
+        F.when(F.col("component") != F.col("doc_id"), F.lit("near_dup"))
+        .when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(F.col("quality") < 0.8, F.lit("quality"))
+        .when(F.col("dup_unit_frac") > 0.6, F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    flag = lambda v: F.sum(  # noqa: E731
+        F.when(F.col("verdict") == v, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        scored.withColumn("verdict", verdict)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_input"),
+            flag("near_dup").alias("n_near_dup"),
+            flag("lang").alias("n_lang"),
+            flag("quality").alias("n_quality"),
+            flag("repetition").alias("n_repetition"),
+            flag("kept").alias("n_kept"),
+            F.sum(
+                F.when(F.col("verdict") == "kept", F.col("ws_tokens")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     votes = []
     for b in range(16):
