@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "synth_invoice_roundtrip",
     "quick_search_top10",
     "embedding_near_dups_banded",
+    "curation_funnel",
 ]
 
 N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
