@@ -12,7 +12,17 @@ catalog query, run over real extracted text):
 3. language gate (--lang), quality gate (--min-quality), repetition gate
    (--max-dup-frac);
 4. kept documents written to --output; a per-verdict funnel report is
-   printed as one JSON line and written next to the output.
+   printed as one JSON line (and written next to the output when the
+   output is a local path — object-store outputs get stdout only).
+
+Resumable in two phases (a 100 TB curation pass must not restart from
+zero): phase 1 materializes the SMALL per-doc verdict table (id + verdict,
+no text) once at ``--output`` + ``_verdicts`` — the global dedup/gate
+computation happens exactly here; phase 2 streams the kept corpus through
+``lineage.run_with_lineage`` (url-hash bucket groups, commit-after-group,
+same machinery as jobs/extract_job.py). Re-invoking with the same
+--job-id reuses a committed verdict table (``_SUCCESS``-checked) and
+resumes the kept-corpus write from the last committed bucket group.
 
 Cluster usage:
 
@@ -31,12 +41,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from llm_document_parser_spark import lineage
 from llm_document_parser_spark.operators import dedup, textstats
 from llm_document_parser_spark.session import get_spark
 
@@ -85,10 +97,83 @@ def curate(
     return kept, labeled
 
 
+def run_curation(
+    spark,
+    results,
+    output: str,
+    lineage_path: str | None = None,
+    job_id: str | None = None,
+    num_buckets: int = 64,
+    buckets_per_commit: int = 8,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    fail_after_groups: int | None = None,
+    **curate_kwargs,
+) -> dict:
+    """Resumable two-phase curation (see module docstring). Returns the
+    funnel report dict. ``fail_after_groups`` is the lineage test hook."""
+    verdicts_path = output.rstrip("/") + "_verdicts"
+    lineage_path = lineage_path or output.rstrip("/") + "_lineage"
+    docs = results.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    )
+
+    # phase 1: the global dedup/gate computation, materialized ONCE as the
+    # tiny (id, verdict) table. Deterministic (CC fixpoint is unique), so a
+    # committed table from a killed prior attempt is safe to reuse.
+    if not (job_id and lineage.success_marker_exists(spark, verdicts_path)):
+        _, labeled = curate(
+            results, id_col=id_col, text_col=text_col, **curate_kwargs
+        )
+        labeled.select(id_col, "verdict").write.mode("overwrite").parquet(
+            verdicts_path
+        )
+    verdicts = spark.read.parquet(verdicts_path)
+    kept_ids = verdicts.filter(F.col("verdict") == "kept").select(id_col)
+
+    # phase 2: the heavy kept-corpus write, bucket-committed. The per-group
+    # transform is a semi-join of the group's docs against the verdict
+    # table — a parquet scan + one shuffle per group, no recomputation of
+    # the phase-1 cascade.
+    job_id = lineage.run_with_lineage(
+        spark,
+        docs,
+        lambda df: df.join(kept_ids, id_col, "left_semi"),
+        results_path=output,
+        lineage_path=lineage_path,
+        job_id=job_id,
+        num_buckets=num_buckets,
+        buckets_per_commit=buckets_per_commit,
+        fail_after_groups=fail_after_groups,
+        key=id_col,
+    )
+    funnel = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "job_id": job_id,
+        "n_input": int(sum(funnel.values())),
+        "funnel": funnel,
+        "kept_rows": lineage.committed_row_total(spark, lineage_path, job_id),
+        "output": output,
+    }
+
+
+def _has_uri_scheme(path: str) -> bool:
+    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="extraction results parquet")
     ap.add_argument("--output", required=True, help="curated corpus parquet")
+    ap.add_argument("--lineage", default=None,
+                    help="lineage table path (default: <output>_lineage)")
+    ap.add_argument("--job-id", default=None, help="stable id for resume")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="url-hash commit buckets for the kept-corpus write")
+    ap.add_argument("--buckets-per-commit", type=int, default=8)
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="extracted_text")
     ap.add_argument("--threshold", type=float, default=0.8,
@@ -100,25 +185,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="ldp-curate-job")
     results = spark.read.parquet(args.input)
-    kept, labeled = curate(
-        results, id_col=args.id_col, text_col=args.text_col,
+    report = run_curation(
+        spark, results, args.output,
+        lineage_path=args.lineage, job_id=args.job_id,
+        num_buckets=args.buckets, buckets_per_commit=args.buckets_per_commit,
+        id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, lang=args.lang,
         min_quality=args.min_quality, max_dup_frac=args.max_dup_frac,
     )
-    kept.write.mode("overwrite").parquet(args.output)
-    funnel = {
-        r["verdict"]: r["n"]
-        for r in labeled.groupBy("verdict").agg(F.count("*").alias("n")).collect()
-    }
-    report = {
-        "n_input": int(sum(funnel.values())),
-        "funnel": funnel,
-        "output": args.output,
-    }
     print(json.dumps(report))
-    with open(os.path.join(os.path.dirname(args.output) or ".",
-                           "curation_report.json"), "w") as f:
-        json.dump(report, f)
+    # the report file is a local-filesystem convenience; for object-store
+    # outputs (s3://…) a local open() of the dirname would throw AFTER the
+    # corpus write succeeded, failing a completed run — stdout is the
+    # contract there
+    if not _has_uri_scheme(args.output):
+        with open(os.path.join(os.path.dirname(args.output) or ".",
+                               "curation_report.json"), "w") as f:
+            json.dump(report, f)
     spark.stop()
     return 0
 

@@ -32,6 +32,19 @@ from pyspark.sql import functions as F
 from .schemas import LINEAGE_SCHEMA
 
 
+def success_marker_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a parquet directory with a committed
+    ``_SUCCESS`` marker — the only safe "this dataset is complete" test.
+    Goes through the Hadoop FileSystem API so it works for any scheme the
+    cluster can write (s3a://, hdfs://, file paths), not just local disk;
+    a crashed writer leaves files but no marker, and reusing such a
+    partial directory silently corrupts whatever consumes it."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def with_bucket(df: DataFrame, num_buckets: int, key: str = "url") -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(key), F.lit(num_buckets)).cast("long")
@@ -85,11 +98,14 @@ def run_with_lineage(
     num_buckets: int = 16,
     buckets_per_commit: int = 4,
     fail_after_groups: int | None = None,
+    key: str = "url",
 ) -> str:
     """Run ``transform(pages_subset)`` bucket-group by bucket-group with
     commit-after-group semantics; re-invocation with the same job_id resumes
     from the last committed group.
 
+    ``key`` is the bucketing column (url for pages tables; any stable
+    unique id works — the transform must preserve it).
     ``fail_after_groups`` is a test hook simulating a mid-job kill.
     Returns the job_id.
     """
@@ -98,7 +114,7 @@ def run_with_lineage(
 
     done = completed_buckets(spark, lineage_path, job_id)
     todo = [b for b in range(num_buckets) if b not in done]
-    bucketed = with_bucket(pages, num_buckets)
+    bucketed = with_bucket(pages, num_buckets, key=key)
 
     groups = [
         todo[i : i + buckets_per_commit]
@@ -110,7 +126,7 @@ def run_with_lineage(
         started = _dt.datetime.now()
         subset = bucketed.filter(F.col("bucket").isin([int(b) for b in group]))
         out = transform(subset.drop("bucket"))
-        out = with_bucket(out, num_buckets)
+        out = with_bucket(out, num_buckets, key=key)
         # Write FIRST, then count from the committed partitions: counting the
         # plan before writing would execute the (pandas-UDF-dominated)
         # extraction twice per group — 2x the whole job at the 10^12-row
@@ -121,8 +137,12 @@ def run_with_lineage(
             .partitionBy("bucket")
             .parquet(results_path)
         )
+        # pin the schema on the re-read: a FILTERING transform (e.g. the
+        # curation semi-join) can legally commit zero rows for a group, and
+        # an inference read of a data-file-less results dir throws
+        # UNABLE_TO_INFER_SCHEMA instead of returning empty
         counted = (
-            spark.read.parquet(results_path)
+            spark.read.schema(out.schema).parquet(results_path)
             .filter(F.col("bucket").isin([int(b) for b in group]))
             .groupBy("bucket")
             .count()

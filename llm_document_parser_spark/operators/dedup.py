@@ -39,13 +39,18 @@ def normalized_digest(text: Column) -> Column:
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (modulo whitespace/case) documents:
-    (digest, dup_count, keep_id) for groups with >1 member."""
+    (digest, dup_count, keep_id) for groups with >1 member.
+
+    ``keep_id`` keeps the id column's NATIVE type (min over strings is
+    deterministic lexicographic order) — the engine's primary keys are
+    urls, and a long cast would throw CAST_INVALID_INPUT under Spark 4
+    ANSI on the very first operator a curation pipeline runs."""
     return (
         df.select(F.col(id_col), normalized_digest(F.col(text_col)).alias("digest"))
         .groupBy("digest")
         .agg(
             F.count("*").cast("long").alias("dup_count"),
-            F.min(id_col).cast("long").alias("keep_id"),
+            F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("dup_count") > 1)
     )
@@ -446,9 +451,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # propagated is materialized (checkpointed) and `changed` consumed
+        # the old labels — drop the stale iteration's blocks so executor
+        # storage stays O(1) in iteration count on large pair graphs
+        labels.unpersist()
         labels = propagated
         if changed == 0:
+            edges.unpersist()
             return labels.select("id", F.col("label").alias("component"))
+    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )

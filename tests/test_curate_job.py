@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
-from jobs.curate_job import curate  # noqa: E402
+import pytest  # noqa: E402
+
+from jobs.curate_job import curate, run_curation  # noqa: E402
 
 
 def test_curate_cascade(spark):
@@ -40,3 +42,56 @@ def test_curate_cascade(spark):
     assert "u1" in kept_urls and "u2" not in kept_urls
     # kept keeps the original result schema (gate columns dropped)
     assert set(kept.columns) == {"url", "extracted_text"}
+
+
+def _corpus(spark, n=40):
+    words = ("alpha bridge castle delta engine forest garden harbor island "
+             "jungle kettle lantern meadow needle orchard piston quarry river")
+    rows = [
+        (f"https://ex.com/p{i}",
+         f"the story of doc {i} is that it was found in the "
+         + " and the ".join(words.split()[i % 6:])
+         + f" with a tail of {i * 7} at the end")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "url string, extracted_text string")
+
+
+def _kept_snapshot(spark, path):
+    rows = spark.read.parquet(path).drop("bucket").collect()
+    return sorted((r["url"], r["extracted_text"]) for r in rows)
+
+
+def test_curation_resume_after_kill(spark, tmp_path):
+    """The kept-corpus write survives a mid-job kill: phase-1 verdicts are
+    reused (committed _SUCCESS table) and phase 2 resumes from the last
+    committed bucket group, byte-equal to a one-shot run."""
+    docs = _corpus(spark)
+
+    ref_out = str(tmp_path / "ref_curated")
+    run_curation(spark, docs, ref_out, job_id="ref", num_buckets=8,
+                 buckets_per_commit=2, min_quality=0.0, threshold=0.9)
+    want = _kept_snapshot(spark, ref_out)
+    assert len(want) > 0
+
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_curation(spark, docs, out, job_id="j1", num_buckets=8,
+                     buckets_per_commit=2, fail_after_groups=1,
+                     min_quality=0.0, threshold=0.9)
+    # the kill left a committed verdict table and a partial kept corpus
+    from llm_document_parser_spark.lineage import (
+        job_progress,
+        success_marker_exists,
+    )
+    assert success_marker_exists(spark, out + "_verdicts")
+    prog = job_progress(spark, out + "_lineage", "j1", 8)
+    assert 0 < prog["completed_buckets"] < 8
+
+    report = run_curation(spark, docs, out, job_id="j1", num_buckets=8,
+                          buckets_per_commit=2, min_quality=0.0, threshold=0.9)
+    assert job_progress(spark, out + "_lineage", "j1", 8)["progress"] == 1.0
+    assert _kept_snapshot(spark, out) == want
+    assert report["kept_rows"] == len(want)
+    assert report["n_input"] == 40
+    assert report["funnel"].get("kept") == len(want)
