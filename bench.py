@@ -68,31 +68,67 @@ BENCH_QUERIES = [
 N_EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages — co-tenant noise on this host has
+    produced 2× headline swings on identical code; emitting load in the
+    JSON lets a reader adjudicate a slow run without re-running."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _cached_parquet_ok(path: str) -> bool:
+    """A cached bench dataset is valid only with its _SUCCESS marker — a
+    bench run killed mid-write leaves a partial directory that would be
+    silently reused (skewing timings) or fail the read."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _ensure_dataset(path: str, write_fn) -> None:
+    if _cached_parquet_ok(path):
+        return
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    write_fn()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = _CPUS
+    load_start = _loadavg()
     spark = get_spark(master=f"local[{cpus}]", app_name="ldp-bench")
 
     # --- materialize the pages table once (untimed) ---
     pages_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".data", f"bench_pages_{N_EXTRACT_DOCS}"
     )
-    if not os.path.exists(pages_path):
-        write_pages(spark, pages_path, N_EXTRACT_DOCS, seed=42, partitions=cpus * 2)
+    _ensure_dataset(
+        pages_path,
+        lambda: write_pages(spark, pages_path, N_EXTRACT_DOCS, seed=42, partitions=cpus * 2),
+    )
 
     # full untimed warm-up (JIT, python worker pool, page cache) — the
-    # timed run below measures steady-state throughput, same methodology as
+    # timed runs below measure steady-state throughput, same methodology as
     # tools/scaling_bench.py
     extract_pipeline(
         spark.read.parquet(pages_path)
     ).write.format("noop").mode("overwrite").save()
 
     # --- timed: full extraction (scan -> pipeline -> noop sink) ---
-    t0 = time.perf_counter()
-    extract_pipeline(
-        spark.read.parquet(pages_path)
-    ).write.format("noop").mode("overwrite").save()
-    extract_secs = time.perf_counter() - t0
+    # two timed runs, min reported: co-tenant noise only ever inflates a
+    # leg, so min is the best estimator of the engine's true cost here
+    extract_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        extract_pipeline(
+            spark.read.parquet(pages_path)
+        ).write.format("noop").mode("overwrite").save()
+        extract_runs.append(round(time.perf_counter() - t0, 3))
+    extract_secs = min(extract_runs)
     docs_per_sec = N_EXTRACT_DOCS / extract_secs
 
     # --- timed: catalog queries ---
@@ -114,13 +150,17 @@ def main() -> None:
     dedup_docs = 50_000
     base = os.path.dirname(os.path.abspath(__file__))
     dedup_pages = os.path.join(base, ".data", f"bench_pages_{dedup_docs}")
-    if not os.path.exists(dedup_pages):
-        write_pages(spark, dedup_pages, dedup_docs, seed=42, partitions=cpus * 2)
+    _ensure_dataset(
+        dedup_pages,
+        lambda: write_pages(spark, dedup_pages, dedup_docs, seed=42, partitions=cpus * 2),
+    )
     dedup_input = os.path.join(base, ".data", f"bench_dedup_docs_{dedup_docs}")
-    if not os.path.exists(dedup_input):
-        extract_pipeline(spark.read.parquet(dedup_pages)).select(
+    _ensure_dataset(
+        dedup_input,
+        lambda: extract_pipeline(spark.read.parquet(dedup_pages)).select(
             "url", "extracted_text"
-        ).write.parquet(dedup_input)
+        ).write.parquet(dedup_input),
+    )
     docs50k = spark.read.parquet(dedup_input)
     t0 = time.perf_counter()
     dedup.minhash_candidate_pairs(
@@ -148,7 +188,9 @@ def main() -> None:
                 "extract": {
                     "docs": N_EXTRACT_DOCS,
                     "seconds": round(extract_secs, 3),
+                    "runs": extract_runs,
                 },
+                "loadavg": {"start": load_start, "end": _loadavg()},
                 "total_seconds": total,
             }
         )

@@ -96,6 +96,11 @@ def load_pages(spark: SparkSession, source: str) -> DataFrame:
     """Read a pages table from an Iceberg table identifier or a parquet
     path, whichever ``source`` denotes. The parquet branch pins
     PAGES_SCHEMA so both branches produce byte-identical plans downstream.
+
+    The files' own schema is checked against PAGES_SCHEMA first: a pinned
+    read over a wrong/unrelated parquet would otherwise NULL-fill every
+    missing column and flow all-null "pages" through extraction as empty
+    rows instead of failing fast at the source.
     """
     if is_table_identifier(source):
         if not iceberg_available():
@@ -104,6 +109,14 @@ def load_pages(spark: SparkSession, source: str) -> DataFrame:
                 "jar is on the classpath; pass a parquet path or add the jar"
             )
         return spark.read.format("iceberg").load(source)
+    found = set(spark.read.parquet(source).schema.names)
+    missing = [f.name for f in PAGES_SCHEMA.fields if f.name not in found]
+    if missing:
+        raise ValueError(
+            f"'{source}' is not a pages table: columns {missing} are absent "
+            f"(found {sorted(found)}); refusing the pinned-schema read that "
+            "would null-fill them"
+        )
     return spark.read.schema(PAGES_SCHEMA).parquet(source)
 
 

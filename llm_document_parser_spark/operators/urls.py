@@ -6,7 +6,9 @@ lineage layout and exact-dup pass silently treat them as distinct pages).
 Canonical form (documented spec, applied in order):
 
 1. scheme and host lowercased (path/query case preserved — paths are
-   case-sensitive);
+   case-sensitive); userinfo (``user:pw@``) dropped from the authority
+   (case-sensitive per RFC 3986 — folding it conflates distinct URLs —
+   and credentials don't belong in bucketing keys);
 2. default ports ``:80``/``:443`` stripped from the authority;
 3. fragment stripped;
 4. tracking params removed: ``utm_*`` and ``fbclid``;
@@ -39,8 +41,13 @@ def host_of(url: Column) -> Column:
     """Lowercased host with the scheme's OWN default port stripped
     (``:80`` for http, ``:443`` for https — ``http://h:443`` keeps its
     non-default port); '' when the URL has no ``scheme://authority``
-    prefix."""
-    hp = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    prefix. Userinfo (``user:pw@``) is DROPPED before lowercasing: it is
+    case-sensitive per RFC 3986, so folding it would conflate distinct
+    URLs, and keeping credentials in a host-bucketing key leaks them into
+    every downstream table — crawl pipelines quarantine such URLs anyway."""
+    hp = F.lower(
+        F.regexp_replace(F.regexp_extract(url, _HOSTPORT_RE, 1), r"^[^@]*@", "")
+    )
     scheme = _scheme(url)
     return (
         F.when(scheme == "http", F.regexp_replace(hp, r":80$", ""))

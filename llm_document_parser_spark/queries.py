@@ -669,8 +669,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts0 AS (
       SELECT doc_id,
         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
-          AS hostport,
+        lower(regexp_replace(
+          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+          '^[^@]*@', '', 'g')) AS hostport,
         regexp_replace(
           regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
           '#.*$', '', 'g') AS rest

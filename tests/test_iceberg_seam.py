@@ -58,6 +58,15 @@ def test_load_pages_identifier_without_jar_raises(spark):
         ib.load_pages(spark, "local.db.pages")
 
 
+def test_load_pages_rejects_non_pages_parquet(spark, tmp_path):
+    """Pointing --input at an unrelated parquet must fail fast, not
+    null-fill the pinned schema into all-'empty' extraction rows."""
+    path = str(tmp_path / "not_pages")
+    spark.createDataFrame([(1, "x")], "id long, something string").write.parquet(path)
+    with pytest.raises(ValueError, match="not a pages table"):
+        ib.load_pages(spark, path)
+
+
 class _ReaderRecorder:
     def __init__(self, calls):
         self.calls = calls

@@ -47,6 +47,13 @@ def test_canonical_url_spec(spark):
     assert _canon(spark, "http://h.example:443/p")["h"] == "h.example:443"
     assert _canon(spark, "https://h.example:80/p")["h"] == "h.example:80"
 
+    # userinfo is dropped from the authority, NOT case-folded into the
+    # host (RFC 3986: userinfo is case-sensitive; credentials must not
+    # leak into host-keyed bucketing)
+    r = _canon(spark, "http://Alice:Pw@H.example:80/p")
+    assert r["h"] == "h.example"
+    assert r["c"] == "http://h.example/p"
+
 
 def test_canonical_url_invalid(spark):
     assert _canon(spark, "not a url")["c"] is None
