@@ -39,6 +39,10 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def bpe_token_count(text: Column) -> Column:
+    """Portable BPE approximation (pre-tokenizer unit count) — native and
+    oracle-reproducible. True tokenizer counts live behind the gated seam
+    in operators/tokenizers.exact_token_counts; the two definitions must
+    not be mixed within one token budget."""
     return F.size(
         F.coalesce(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0), F.array())
     ).cast("long")

@@ -1187,7 +1187,14 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate → repetition gate, with disjoint per-source funnel
     accounting (every document lands in exactly one verdict bucket).
     Verified value-for-value against a DuckDB oracle that replays the
-    identical cascade including the recursive-CTE component closure."""
+    identical cascade including the recursive-CTE component closure.
+
+    ``kept_tokens`` uses the PORTABLE whitespace token count
+    (textstats.token_count) — the cross-engine-checkable definition this
+    oracle attests. When a real tokenizer is installed, final corpus
+    accounting should use operators/tokenizers.exact_token_counts (true
+    BPE counts) instead; the two definitions must never be mixed within
+    one budget (see operators/tokenizers.py)."""
     d = _t(spark, sf_dir, "documents")
     all_docs = d.select("doc_id", "text", "source").unionByName(
         d.filter(F.col("doc_id") < 50).select(

@@ -158,3 +158,113 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert len(frames) == 3  # 3500ms at 1/s → frames 0,1,2
     assert {f["frame_ts_ms"] for f in frames} == {0, 1000, 2000}
+
+
+# ------------------------------------------------------------- audio stage
+
+
+def _wav_bytes(samples, sr=8000, channels=1):
+    """Real 16-bit PCM WAV payload via stdlib wave — deterministic."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _audio_rows():
+    quiet_then_loud = [100] * 800 + [20000] * 800
+    return [
+        ("m://wav1", "audio", _wav_bytes(quiet_then_loud), None, None, 200),
+        ("m://wav2", "audio", _wav_bytes(quiet_then_loud), None, None, 200),
+        ("m://wav3", "audio", _wav_bytes([5000] * 1600), None, None, 200),
+        ("m://mp3", "audio", b"ID3\x04fake mpeg frames" * 20, None, None, 900),
+        ("m://bad", "audio", b"RIFF\x00\x00\x00\x00WAVEgarbage", None, None, None),
+        ("m://null", "audio", None, None, None, None),
+        ("m://img", "image", b"\x89PNG not audio", 8, 8, None),
+    ]
+
+
+def test_audio_features_end_to_end(spark):
+    """Real stdlib-WAV decode through the full mapInPandas stage: energy
+    envelope reflects the signal (quiet first half, loud second half),
+    non-WAV codecs take the deterministic fake, truncated WAV degrades to
+    None, image rows are excluded."""
+    media = spark.createDataFrame(_audio_rows(), MEDIA_SCHEMA)
+    rows = {r["url"]: r for r in mm.extract_audio_features(media).collect()}
+    assert set(rows) == {"m://wav1", "m://wav2", "m://wav3", "m://mp3", "m://bad", "m://null"}
+
+    w1 = rows["m://wav1"]
+    assert w1["sample_rate"] == 8000 and w1["n_samples"] == 1600
+    assert len(w1["feature"]) == FEATURE_DIM
+    assert abs(sum(w1["feature"]) - 1.0) < 1e-6
+    # first half quiet, second half loud → envelope mass in the back half
+    assert sum(w1["feature"][FEATURE_DIM // 2 :]) > 0.98
+    assert w1["feature"] == rows["m://wav2"]["feature"]  # deterministic
+    # constant amplitude → flat envelope
+    flat = rows["m://wav3"]["feature"]
+    assert max(flat) - min(flat) < 1e-6
+
+    # non-WAV codec without soundfile → byte-histogram fake, metadata zeroed
+    mp3 = rows["m://mp3"]
+    assert mp3["sample_rate"] == 0 and mp3["n_samples"] == 0
+    want = mm._feature_fake(b"ID3\x04fake mpeg frames" * 20)
+    # float32 round-trip through Arrow — compare at float32 precision
+    assert all(abs(a - b) < 1e-6 for a, b in zip(mp3["feature"], want))
+
+    assert rows["m://bad"]["feature"] is None  # decode error degrades
+    assert rows["m://null"]["feature"] is None
+    assert rows["m://null"]["n_bytes"] == 0
+
+
+def test_audio_stereo_mixdown():
+    """Stereo WAV decodes via mono mixdown — same envelope shape."""
+    stereo = [v for s in ([100] * 400 + [20000] * 400) for v in (s, s)]
+    sr, n, feat = mm._decode_audio_wav(_wav_bytes(stereo, channels=2))
+    assert sr == 8000 and n == 800
+    assert sum(feat[FEATURE_DIM // 2 :]) > 0.98
+
+
+def test_soundfile_dispatch_when_installed(monkeypatch):
+    """With soundfile present, non-WAV payloads route to the real decoder
+    (seam driven with a fake module — soundfile isn't installable here)."""
+    import sys
+    import types
+
+    assert not mm.HAS_SOUNDFILE  # precondition: sandbox has no soundfile
+
+    seen = {}
+    fake_sf = types.ModuleType("soundfile")
+
+    def fake_read(fileobj, always_2d=False):
+        import numpy as np
+
+        seen["payload"] = fileobj.read()
+        return np.array([[0.1], [0.9], [0.9], [0.1]]), 44100
+
+    fake_sf.read = fake_read
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    monkeypatch.setattr(mm, "HAS_SOUNDFILE", True)
+
+    sr, n, feat = mm._payload_to_audio_feature(b"OggS fake vorbis")
+    assert seen["payload"] == b"OggS fake vorbis"
+    assert sr == 44100 and n == 4
+    assert len(feat) == FEATURE_DIM and abs(sum(feat) - 1.0) < 1e-6
+
+
+def test_audio_features_compose_with_similarity(spark):
+    media = spark.createDataFrame(_audio_rows()[:3], MEDIA_SCHEMA)
+    feats = mm.extract_audio_features(media).withColumnRenamed("url", "vec_id")
+    topk = cosine_topk(
+        feats.filter("vec_id = 'm://wav1'"), feats, k=2,
+        id_col="vec_id", vec_col="feature",
+    )
+    rows = topk.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == "m://wav2"
+    assert rows[0]["score"] == 1.0
