@@ -56,10 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver attests at most 50 queries per round, in iteration order.
-# These two long-stable TPC-H-style rows (green since round 1, re-checkable
+# These long-stable TPC-H-style rows (green since round 1, re-checkable
 # any time with tools/check_queries.py) yield their slots so every newer
 # operator gets a driver-attested CORRECTNESS row.
-_DEMOTED = ("top_orders", "paginated_orders")
+_DEMOTED = (
+    "customers_without_orders",
+    "union_sources",
+    "top_orders",
+    "paginated_orders",
+)
 
 
 def _ordered(d: dict) -> dict:

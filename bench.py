@@ -175,6 +175,24 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     per_query["verified_near_dups_50k"] = round(time.perf_counter() - t0, 3)
 
+    # --- timed: benchmark decontamination at extraction scale ---
+    # 500 eval items (12-word prefixes of the sf documents) against the
+    # same 50k real extracted pages: corpus 8-grams explode map-side and
+    # hash-join the broadcast benchmark grams — the corpus never shuffles.
+    from pyspark.sql import functions as F
+
+    from llm_document_parser_spark.operators import decontaminate as dc
+
+    bench_items = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 12), " ").alias("text"),
+    )
+    t0 = time.perf_counter()
+    dc.contamination_report(
+        docs50k, bench_items, id_col="url", text_col="extracted_text", n=8
+    ).write.format("noop").mode("overwrite").save()
+    per_query["decontaminate_50k"] = round(time.perf_counter() - t0, 3)
+
     total = round(extract_secs + sum(per_query.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,101 @@
+"""Benchmark decontamination — flag training documents that overlap an
+evaluation benchmark, the GPT-3/RefinedWeb-style n-gram filter every
+serious training-data pipeline runs before a corpus ships.
+
+Semantics: a document is contaminated when it shares at least
+``min_hits`` distinct word n-grams (default 13-grams, the published
+operating point) with ANY benchmark item. The operator reports per-doc
+evidence — how many distinct n-grams collide and with how many distinct
+benchmark items — so the decision threshold stays a downstream knob.
+
+Scale shape (the asymmetry is the whole design): the corpus side is
+10^12 documents, the benchmark side is 10^4-10^6 eval items. Corpus
+n-grams are exploded per-partition (one generator, no shuffle until the
+join); the benchmark n-gram table is DISTINCT, tiny, and broadcast, so
+the contamination check is a map-side hash join — zero shuffle of corpus
+text — followed by one groupBy on doc id. Set ``broadcast_bench=False``
+for a pathologically large benchmark to fall back to a shuffle equi-join
+(AQE handles the skew of stopword-heavy n-grams).
+
+All native column expressions; n-grams come from the same tokenizer as
+the dedup shingles (``dedup.shingles_col``), so decontamination and
+near-dup share one text normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame,
+    id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """(ngram, bench_id) — distinct n-grams per benchmark item. Small by
+    construction; computed once and reused across corpus shards."""
+    return (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram"),
+        )
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(doc id, overlap_ngrams, n_benchmarks) for every document sharing
+    ≥ ``min_hits`` distinct n-grams with the benchmark. Clean documents
+    are absent (the common case at 10^12 rows — emitting them would be a
+    full-corpus write for a near-empty signal); callers needing a flag
+    column left-join this back on the id."""
+    bench = benchmark_ngrams(benchmark, bench_id_col, bench_text_col, n)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    doc_ngrams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram"),
+    )
+    return (
+        doc_ngrams.join(bench, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct("ngram").cast("long").alias("overlap_ngrams"),
+            F.count_distinct("bench_id").cast("long").alias("n_benchmarks"),
+        )
+        .filter(F.col("overlap_ngrams") >= min_hits)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The keep-side: ``docs`` minus contaminated rows — an anti-join
+    against the (small) contamination report, preserving the input
+    schema. One broadcast join + one agg + one anti-join."""
+    contaminated = contamination_report(
+        docs, benchmark, id_col, text_col, bench_id_col, bench_text_col,
+        n=n, min_hits=min_hits,
+    ).select(id_col)
+    return docs.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,58 @@
+"""Token-budget corpus sampling — cut a curated corpus down to a target
+training budget, per group, without bias.
+
+A training run wants "N billion tokens, mixed X% web / Y% code / …"; the
+curation funnel produces more than that. The unbiased way to downsample
+is a deterministic random order (hash of the document id — stable across
+runs and engines, no RNG state) with a running token total per group:
+keep every document whose group-cumulative token count up to and
+INCLUDING itself stays within the group's budget, plus the first
+straddling document (so a budget smaller than the first doc still yields
+it — a budget must never produce an empty group).
+
+Scale shape: one window (hash-ordered cumulative sum within the group
+partition) — a single shuffle on the group key. Groups are coarse
+(source/domain/language), so per-partition data is large but the window
+is a streaming running sum, not a buffering rank. Skewed groups behave
+like any skewed window partition: pre-split the group key upstream if
+one group dominates the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Keep a deterministic ~``budget_tokens``-token sample per group
+    (whole corpus when ``group_col`` is None). Adds ``ws_tokens`` and
+    ``cum_tokens`` (the group-cumulative count including the row) so the
+    achieved budget is auditable; preserves all input columns.
+
+    ``tokens_col`` overrides the token definition (e.g. a precomputed
+    exact-BPE count column) — the default is the portable whitespace
+    count, matching ``curation_funnel.kept_tokens``.
+    """
+    toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    order = part.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    with_cum = docs.withColumn("ws_tokens", toks).withColumn(
+        "cum_tokens",
+        F.sum("ws_tokens").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # keep rows fully inside the budget, plus the first straddler:
+    # cum - ws < budget ⇔ the budget was not yet exhausted when this row
+    # started, so it is taken (possibly overshooting once per group)
+    return with_cum.filter(F.col("cum_tokens") - F.col("ws_tokens") < budget_tokens)

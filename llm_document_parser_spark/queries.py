@@ -2013,3 +2013,111 @@ def host_url_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "hot_key", "event_type", "n_distinct", buckets=8
     )
     return counts.join(distincts, "hot_key")
+
+
+# ===========================================================================
+# training-pipeline additions (round 4): benchmark decontamination +
+# token-budget sampling
+# ===========================================================================
+
+# 8-word-shingle expression for the DuckDB side, generated (never
+# hand-nested): tk[i] || ' ' || tk[i+1] || … || tk[i+7]
+_NGRAM8_SQL = " || ' ' || ".join(
+    "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(8)
+)
+
+_DECON_ORACLE = f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(list_slice(string_split(lower(text), ' '), 1, 12), ' ')
+               AS btext
+      FROM documents WHERE doc_id < 3),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000,
+             'planted prefix words here ' || b.btext || ' and trailing words after'
+      FROM documents d JOIN bench b ON b.bench_id = d.doc_id
+      WHERE d.doc_id < 3),
+    btok AS (SELECT bench_id, string_split(lower(btext), ' ') AS tk FROM bench),
+    bgrams AS (
+      SELECT DISTINCT bench_id, {_NGRAM8_SQL} AS ngram
+      FROM btok CROSS JOIN (SELECT UNNEST(range(1, 100)) AS i) ix
+      WHERE i <= len(tk) - 7),
+    ctok AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM corpus),
+    cgrams AS (
+      SELECT DISTINCT doc_id, {_NGRAM8_SQL} AS ngram
+      FROM ctok CROSS JOIN (SELECT UNNEST(range(1, 4000)) AS i) ix
+      WHERE i <= len(tk) - 7)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.ngram) AS BIGINT) AS overlap_ngrams,
+           CAST(count(DISTINCT g.bench_id) AS BIGINT) AS n_benchmarks
+    FROM cgrams c JOIN bgrams g ON c.ngram = g.ngram
+    GROUP BY c.doc_id HAVING count(DISTINCT c.ngram) >= 1
+"""
+
+
+@query("decontaminate_docs", _DECON_ORACLE)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): the
+    12-word prefixes of the first 3 documents act as the eval benchmark;
+    the corpus is all documents plus planted rows embedding each
+    benchmark prefix mid-sentence. Per-doc overlap evidence (distinct
+    8-gram collisions, distinct benchmark items hit) verified
+    value-for-value — originals self-match, planted rows are caught, the
+    rest of the corpus only appears where natural phrase reuse exists
+    (identically in both engines)."""
+    from .operators import decontaminate as dc
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(F.lower("text"), " "), 1, 12), " "
+        ).alias("btext"),
+    )
+    planted = bench.select(
+        (F.col("bench_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("planted prefix words here "),
+            F.col("btext"),
+            F.lit(" and trailing words after"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return dc.contamination_report(
+        corpus, bench, bench_text_col="btext", n=8, min_hits=1
+    )
+
+
+@query(
+    "token_budget_sample",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, ws_tokens,
+             CAST(sum(ws_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT source, doc_id, ws_tokens, cum_tokens
+    FROM c WHERE cum_tokens - ws_tokens < 900
+    """,
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota sampling (operators/sampling.py): a
+    deterministic ~900-token sample per source — md5-hash order, running
+    token sum, first straddler kept. The cumulative totals themselves are
+    verified cross-engine, pinning the hash order AND the budget cut."""
+    from .operators.sampling import sample_to_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_to_token_budget(d, budget_tokens=900, group_col="source")
+    return out.select(
+        "source", "doc_id", "ws_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )

@@ -1,0 +1,87 @@
+"""Benchmark decontamination (operators/decontaminate.py): planted
+benchmark passages must be flagged with exact evidence counts, clean
+documents must not, and the corpus side must reach the benchmark via a
+broadcast join (map-side, no corpus shuffle before the agg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.operators import decontaminate as dc
+
+
+def _bench(spark):
+    rows = [
+        ("q1", "what is the capital city of the ancient kingdom of lydia"),
+        ("q2", "name the smallest prime number greater than one hundred"),
+    ]
+    return spark.createDataFrame(rows, "bench_id string, text string")
+
+
+def _docs(spark):
+    filler = ("meadow lantern harbor quarry piston bridge castle engine "
+              "forest island jungle kettle needle orchard river delta ")
+    rows = [
+        # contains q1 verbatim → contaminated
+        ("d1", filler + "what is the capital city of the ancient kingdom of lydia " + filler),
+        # contains both q1 and q2 → contaminated, 2 benchmarks
+        ("d2", "what is the capital city of the ancient kingdom of lydia and also "
+               "name the smallest prime number greater than one hundred"),
+        # shares a few words but no full n-gram → clean
+        ("d3", filler + "the capital city has a harbor " + filler),
+        ("d4", filler * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_contamination_report_exact_counts(spark):
+    rep = {
+        r["doc_id"]: r
+        for r in dc.contamination_report(
+            _docs(spark), _bench(spark), n=8
+        ).collect()
+    }
+    assert set(rep) == {"d1", "d2"}
+    # q1 is 11 words → 4 distinct 8-grams, all present verbatim in d1;
+    # bridging 8-grams into the filler are not benchmark grams
+    assert rep["d1"]["overlap_ngrams"] == 4
+    assert rep["d1"]["n_benchmarks"] == 1
+    # d2 carries q1 verbatim (4 8-grams) and q2 verbatim (9 words → 2)
+    assert rep["d2"]["n_benchmarks"] == 2
+    assert rep["d2"]["overlap_ngrams"] == 6
+
+
+def test_min_hits_threshold(spark):
+    rep = dc.contamination_report(
+        _docs(spark), _bench(spark), n=8, min_hits=5
+    ).collect()
+    assert {r["doc_id"] for r in rep} == {"d2"}
+
+
+def test_decontaminate_keep_side(spark):
+    docs = _docs(spark)
+    kept = dc.decontaminate(docs, _bench(spark), n=8)
+    assert {r["doc_id"] for r in kept.collect()} == {"d3", "d4"}
+    assert kept.columns == docs.columns  # schema preserved
+
+
+def test_benchmark_is_broadcast(spark):
+    out = dc.contamination_report(_docs(spark), _bench(spark), n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    shuffled = dc.contamination_report(
+        _docs(spark), _bench(spark), n=8, broadcast_bench=False
+    )
+    plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+
+def test_short_docs_and_benchmarks_yield_no_ngrams(spark):
+    docs = spark.createDataFrame(
+        [("s1", "too short"), ("s2", None)], "doc_id string, text string"
+    )
+    bench = spark.createDataFrame([("b", "tiny")], "bench_id string, text string")
+    assert dc.contamination_report(docs, bench, n=10).count() == 0
+    kept = dc.decontaminate(docs, bench, n=10)
+    assert kept.count() == 2  # nothing flagged → everything kept
