@@ -9,8 +9,9 @@ catalog query, run over real extracted text):
 1. MinHash near-dup candidates at the production r=8 geometry (xxhash64
    fast signatures), Jaccard-verified at --threshold;
 2. connected components → per-document canonical keep-id;
-3. language gate (--lang), quality gate (--min-quality), repetition gate
-   (--max-dup-frac);
+3. optional decontamination gate (--benchmark: eval items whose n-grams
+   must not leak into training data), language gate (--lang), quality
+   gate (--min-quality), repetition gate (--max-dup-frac);
 4. kept documents written to --output; a per-verdict funnel report is
    printed as one JSON line (and written next to the output when the
    output is a local path — object-store outputs get stdout only).
@@ -49,7 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from llm_document_parser_spark import lineage
-from llm_document_parser_spark.operators import dedup, textstats
+from llm_document_parser_spark.operators import decontaminate, dedup, textstats
 from llm_document_parser_spark.session import get_spark
 
 
@@ -61,8 +62,17 @@ def curate(
     lang: str = "en",
     min_quality: float = 0.8,
     max_dup_frac: float = 0.6,
+    benchmark=None,
+    decon_n: int = 13,
+    decon_min_hits: int = 1,
 ):
-    """(kept DataFrame, verdict-per-doc DataFrame) for the cascade above."""
+    """(kept DataFrame, verdict-per-doc DataFrame) for the cascade above.
+
+    ``benchmark`` (optional DataFrame of ``(bench_id, text)`` eval items)
+    adds the decontamination gate between near-dup and language: any doc
+    sharing ≥ ``decon_min_hits`` distinct ``decon_n``-grams with a
+    benchmark item gets verdict ``contaminated`` (broadcast n-gram join —
+    see operators/decontaminate.py)."""
     docs = results.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
     )
@@ -83,8 +93,19 @@ def curate(
         .join(rep, id_col, "left")
         .withColumn("dup_unit_frac", F.coalesce("dup_unit_frac", F.lit(0.0)))
     )
+    if benchmark is not None:
+        flagged = decontaminate.contamination_report(
+            docs, benchmark, id_col=id_col, text_col=text_col,
+            n=decon_n, min_hits=decon_min_hits,
+        ).select(id_col, F.lit(True).alias("contaminated"))
+        scored = scored.join(flagged, id_col, "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    else:
+        scored = scored.withColumn("contaminated", F.lit(False))
     verdict = (
         F.when(F.col("component") != F.col(id_col), F.lit("near_dup"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
         .when(F.col("lang_pred") != lang, F.lit("lang"))
         .when(F.col("quality") < min_quality, F.lit("quality"))
         .when(F.col("dup_unit_frac") > max_dup_frac, F.lit("repetition"))
@@ -92,7 +113,8 @@ def curate(
     )
     labeled = scored.withColumn("verdict", verdict)
     kept = labeled.filter(F.col("verdict") == "kept").drop(
-        "lang_pred", "quality", "component", "dup_unit_frac", "verdict"
+        "lang_pred", "quality", "component", "dup_unit_frac", "contaminated",
+        "verdict",
     )
     return kept, labeled
 
@@ -107,11 +129,19 @@ def run_curation(
     buckets_per_commit: int = 8,
     id_col: str = "url",
     text_col: str = "extracted_text",
+    budget_tokens: int | None = None,
+    budget_group: str | None = None,
     fail_after_groups: int | None = None,
     **curate_kwargs,
 ) -> dict:
     """Resumable two-phase curation (see module docstring). Returns the
-    funnel report dict. ``fail_after_groups`` is the lineage test hook."""
+    funnel report dict. ``fail_after_groups`` is the lineage test hook.
+
+    ``budget_tokens`` caps the kept corpus at a deterministic per-group
+    token budget (operators/sampling.py) — surviving documents keep
+    verdict ``kept``, the hash-ordered overflow becomes ``budget_out``.
+    The cut happens in phase 1, so the verdict table stays the single
+    source of truth and phase-2 resume semantics are unchanged."""
     verdicts_path = output.rstrip("/") + "_verdicts"
     lineage_path = lineage_path or output.rstrip("/") + "_lineage"
     docs = results.filter(
@@ -125,6 +155,23 @@ def run_curation(
         _, labeled = curate(
             results, id_col=id_col, text_col=text_col, **curate_kwargs
         )
+        if budget_tokens:
+            from llm_document_parser_spark.operators.sampling import (
+                sample_to_token_budget,
+            )
+
+            in_budget = sample_to_token_budget(
+                labeled.filter(F.col("verdict") == "kept"),
+                budget_tokens, group_col=budget_group,
+                id_col=id_col, text_col=text_col,
+            ).select(id_col, F.lit(True).alias("in_budget"))
+            labeled = labeled.join(in_budget, id_col, "left").withColumn(
+                "verdict",
+                F.when(
+                    (F.col("verdict") == "kept") & F.col("in_budget").isNull(),
+                    F.lit("budget_out"),
+                ).otherwise(F.col("verdict")),
+            )
         labeled.select(id_col, "verdict").write.mode("overwrite").parquet(
             verdicts_path
         )
@@ -181,10 +228,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--lang", default="en")
     ap.add_argument("--min-quality", type=float, default=0.8)
     ap.add_argument("--max-dup-frac", type=float, default=0.6)
+    ap.add_argument("--benchmark", default=None,
+                    help="optional eval-set parquet (bench_id, text) — adds "
+                         "the decontamination gate")
+    ap.add_argument("--decon-n", type=int, default=13,
+                    help="decontamination n-gram width")
+    ap.add_argument("--budget-tokens", type=int, default=None,
+                    help="deterministic per-group token budget for the kept corpus")
+    ap.add_argument("--budget-group", default=None,
+                    help="grouping column for --budget-tokens (default: whole corpus)")
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="ldp-curate-job")
     results = spark.read.parquet(args.input)
+    benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
     report = run_curation(
         spark, results, args.output,
         lineage_path=args.lineage, job_id=args.job_id,
@@ -192,6 +249,8 @@ def main(argv: list[str] | None = None) -> int:
         id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, lang=args.lang,
         min_quality=args.min_quality, max_dup_frac=args.max_dup_frac,
+        benchmark=benchmark, decon_n=args.decon_n,
+        budget_tokens=args.budget_tokens, budget_group=args.budget_group,
     )
     print(json.dumps(report))
     # the report file is a local-filesystem convenience; for object-store

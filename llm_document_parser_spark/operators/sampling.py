@@ -33,6 +33,7 @@ def sample_to_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: Column | None = None,
+    global_shards: int = 1,
 ) -> DataFrame:
     """Keep a deterministic ~``budget_tokens``-token sample per group
     (whole corpus when ``group_col`` is None). Adds ``ws_tokens`` and
@@ -42,11 +43,38 @@ def sample_to_token_budget(
     ``tokens_col`` overrides the token definition (e.g. a precomputed
     exact-BPE count column) — the default is the portable whitespace
     count, matching ``curation_funnel.kept_tokens``.
+
+    Scale note: an UNGROUPED budget with ``global_shards=1`` is a
+    single-partition window — exact, but serial; fine up to ~10^8 rows,
+    wrong at 10^12. Set ``global_shards=K`` (256 is a good default at
+    corpus scale) to split the corpus into K deterministic md5 shards
+    with ``budget/K`` each: fully parallel, same unbiased hash order,
+    and the only error is ≤1 straddler document per shard (the budget is
+    met to within K documents, still deterministic). Grouped budgets
+    parallelize across groups already and ignore ``global_shards``.
     """
     toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
-    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    budget: float = float(budget_tokens)
+    shard_col = None
+    if group_col is None and global_shards > 1:
+        # md5-derived shard — portable (same bytes feed the order key),
+        # independent of the ORDER position within the shard (different
+        # substring of the digest)
+        shard_col = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 29, 4), 16, 10
+        ).cast("long") % global_shards
+        budget = budget / global_shards
+    if group_col is not None:
+        part = Window.partitionBy(group_col)
+    elif shard_col is not None:
+        part = Window.partitionBy("_budget_shard")
+    else:
+        part = Window.partitionBy()
     order = part.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    with_cum = docs.withColumn("ws_tokens", toks).withColumn(
+    with_cum = docs
+    if shard_col is not None:
+        with_cum = with_cum.withColumn("_budget_shard", shard_col)
+    with_cum = with_cum.withColumn("ws_tokens", toks).withColumn(
         "cum_tokens",
         F.sum("ws_tokens").over(
             order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -55,4 +83,5 @@ def sample_to_token_budget(
     # keep rows fully inside the budget, plus the first straddler:
     # cum - ws < budget ⇔ the budget was not yet exhausted when this row
     # started, so it is taken (possibly overshooting once per group)
-    return with_cum.filter(F.col("cum_tokens") - F.col("ws_tokens") < budget_tokens)
+    out = with_cum.filter(F.col("cum_tokens") - F.col("ws_tokens") < budget)
+    return out.drop("_budget_shard") if shard_col is not None else out

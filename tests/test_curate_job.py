@@ -44,6 +44,31 @@ def test_curate_cascade(spark):
     assert set(kept.columns) == {"url", "extracted_text"}
 
 
+def test_curate_decontamination_gate(spark):
+    base = (
+        "the quick brown fox jumps over one lazy dog and it runs through "
+        "green fields toward distant hills while evening light settles"
+    )
+    eval_q = "which animal jumps over the lazy dog in the famous sentence"
+    rows = [
+        ("u1", base),
+        # embeds the eval question verbatim → contaminated
+        ("u2", "the page says " + eval_q + " and then " + base),
+        ("u3", base.replace("fox", "owl").replace("dog", "hen")),
+    ]
+    docs = spark.createDataFrame(rows, "url string, extracted_text string")
+    bench = spark.createDataFrame([("q1", eval_q)], "bench_id string, text string")
+    kept, labeled = curate(
+        docs, min_quality=0.0, threshold=0.95, benchmark=bench, decon_n=8
+    )
+    verdicts = {r["url"]: r["verdict"] for r in labeled.collect()}
+    assert verdicts["u2"] == "contaminated"
+    assert verdicts["u1"] == "kept"
+    kept_urls = {r["url"] for r in kept.collect()}
+    assert "u2" not in kept_urls and "u1" in kept_urls
+    assert set(kept.columns) == {"url", "extracted_text"}
+
+
 def _corpus(spark, n=40):
     words = ("alpha bridge castle delta engine forest garden harbor island "
              "jungle kettle lantern meadow needle orchard piston quarry river")
@@ -60,6 +85,33 @@ def _corpus(spark, n=40):
 def _kept_snapshot(spark, path):
     rows = spark.read.parquet(path).drop("bucket").collect()
     return sorted((r["url"], r["extracted_text"]) for r in rows)
+
+
+def test_curation_token_budget(spark, tmp_path):
+    """--budget-tokens: the kept corpus is cut to a deterministic token
+    budget; overflow docs land in the budget_out funnel bucket and the
+    written corpus matches the kept verdicts exactly."""
+    docs = _corpus(spark)
+    out = str(tmp_path / "budgeted")
+    report = run_curation(
+        spark, docs, out, job_id="b1", num_buckets=4,
+        min_quality=0.0, threshold=0.9, budget_tokens=200,
+    )
+    funnel = report["funnel"]
+    assert funnel.get("budget_out", 0) > 0
+    assert funnel.get("kept", 0) > 0
+    kept_rows = spark.read.parquet(out).collect()
+    assert len(kept_rows) == funnel["kept"] == report["kept_rows"]
+    # achieved budget: sum of kept ws tokens stays within budget + one
+    # straddler document
+    from llm_document_parser_spark.operators.textstats import token_count
+    kept_toks = [
+        r["t"]
+        for r in spark.read.parquet(out)
+        .select(token_count(F.col("extracted_text")).alias("t"))
+        .collect()
+    ]
+    assert sum(kept_toks) - max(kept_toks) < 200 <= sum(kept_toks)
 
 
 def test_curation_resume_after_kill(spark, tmp_path):

@@ -64,6 +64,33 @@ def test_global_budget_without_group(spark):
     assert total - max_doc < 100  # minus the straddler it was under budget
 
 
+def test_global_shards_parallel_budget(spark):
+    """global_shards=K splits the ungrouped budget across K md5 shards —
+    total stays within budget + K straddlers, deterministic, and every
+    shard's cumulative accounting is self-consistent."""
+    docs = _docs(spark, n=200)
+    out = sample_to_token_budget(docs, budget_tokens=400, global_shards=4).collect()
+    assert out
+    total = sum(r["ws_tokens"] for r in out)
+    # ≤1 straddler per shard: subtracting the 4 largest kept docs must
+    # land under the budget; the budget itself must be (nearly) filled
+    biggest = sorted((r["ws_tokens"] for r in out), reverse=True)[:4]
+    assert total - sum(biggest) < 400
+    assert total >= 400 - sum(biggest)
+    # deterministic + partitioning invariant
+    again = {
+        r["doc_id"]
+        for r in sample_to_token_budget(
+            docs.repartition(7), budget_tokens=400, global_shards=4
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out} == again
+    # the helper shard column must not leak into the output
+    assert "_budget_shard" not in sample_to_token_budget(
+        docs, budget_tokens=400, global_shards=4
+    ).columns
+
+
 def test_custom_tokens_col(spark):
     """A precomputed (e.g. exact-BPE) count column overrides the default
     whitespace definition."""
