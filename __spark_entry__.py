@@ -60,6 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # any time with tools/check_queries.py) yield their slots so every newer
 # operator gets a driver-attested CORRECTNESS row.
 _DEMOTED = (
+    "order_priority_counts",
+    "events_summary",
     "customers_without_orders",
     "union_sources",
     "top_orders",

@@ -85,3 +85,26 @@ def sample_to_token_budget(
     # started, so it is taken (possibly overshooting once per group)
     out = with_cum.filter(F.col("cum_tokens") - F.col("ws_tokens") < budget)
     return out.drop("_budget_shard") if shard_col is not None else out
+
+
+def cap_per_group(
+    docs: DataFrame,
+    max_docs: int,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per group — the crawl-politeness
+    / anti-domination cap every web pipeline applies per host or domain
+    (one template-heavy site must not become 4% of the corpus). Selection
+    is the same deterministic md5-hash order as the token-budget sampler:
+    unbiased within the group, stable across runs and engines. One
+    row_number window = one shuffle on the group key; preserves all input
+    columns."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= max_docs)
+        .drop("_cap_rn")
+    )

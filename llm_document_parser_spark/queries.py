@@ -2121,3 +2121,90 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "doc_id", "ws_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )
+
+
+@query(
+    "docs_per_host_cap",
+    """
+    WITH hosted AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host, doc_id
+      FROM documents),
+    ranked AS (
+      SELECT host, doc_id,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM hosted)
+    SELECT host, doc_id FROM ranked WHERE rn <= 10
+    """,
+)
+def docs_per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host anti-domination cap (operators/sampling.cap_per_group):
+    at most 10 docs per synthesized host, deterministic md5-hash
+    selection — the exact kept set verified cross-engine."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("host"),
+        "doc_id",
+    )
+    return cap_per_group(d, max_docs=10, group_col="host")
+
+
+@query(
+    "pii_redacted_docs",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com or call 555-01' || CAST(doc_id % 10 AS VARCHAR)
+             || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+             || ' ssn 123-45-6789 end ' || text AS text
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '(?:\+\d{1,3}[-.\s])?\(?\d{3}\)?[-.\s]\d{3}[-.\s]\d{4}', '[PHONE]', 'g')
+             AS redacted,
+           CAST(len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}')) AS BIGINT)
+             AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email
+    FROM seeded
+    """,
+)
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/redact.py) over documents seeded with a
+    deterministic email + phone + SSN preamble: full redacted text plus
+    per-class counts verified value-for-value. The Spark side runs the
+    PRODUCTION guarded patterns (Java lookarounds, O(n)-safe); the oracle
+    runs the documented RE2-safe unguarded equivalents — identical output
+    on whitespace-separated text, which this construction guarantees."""
+    from .operators import redact
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    did = F.col("doc_id").cast("string")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), did, F.lit("@example.com or call 555-01"),
+            (F.col("doc_id") % 10).cast("string"), F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" ssn 123-45-6789 end "), F.col("text"),
+        ).alias("text"),
+    )
+    ssn_rx, email_rx = redact.REDACTIONS[0][0], redact.REDACTIONS[1][0]
+    return seeded.select(
+        "doc_id",
+        redact.redact_pii(F.col("text")).alias("redacted"),
+        F.size(
+            F.coalesce(F.regexp_extract_all("text", F.lit(ssn_rx), 0), F.array())
+        ).cast("long").alias("n_ssn"),
+        F.size(
+            F.coalesce(F.regexp_extract_all("text", F.lit(email_rx), 0), F.array())
+        ).cast("long").alias("n_email"),
+    )
