@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # any time with tools/check_queries.py) yield their slots so every newer
 # operator gets a driver-attested CORRECTNESS row.
 _DEMOTED = (
+    "order_status_cube",
     "order_priority_counts",
     "events_summary",
     "customers_without_orders",

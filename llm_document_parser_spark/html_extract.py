@@ -106,7 +106,14 @@ def sniff_doc_kind(payload: bytes | None) -> str:
         return "pdf"
     if is_image_payload(payload):
         return "image"
-    head = payload[:1024].decode("utf-8", errors="replace")
+    head_bytes = payload[:1024]
+    if head_bytes[:2] in (b"\xff\xfe", b"\xfe\xff") or head_bytes[:4] == (
+        b"\x00\x00\xfe\xff"
+    ):
+        # UTF-16/32 BOM: the ASCII marker bytes are NUL-interleaved; strip
+        # NULs before matching (same rule as the native column expression)
+        head_bytes = head_bytes.replace(b"\x00", b"")
+    head = head_bytes.decode("utf-8", errors="replace")
     if _HTML_MARKER_RE.search(head):
         return "html"
     return "text"

@@ -10,16 +10,23 @@ memory.
 S2 (OCR) is feature-gated exactly like the reference gates it (reference:
 src/document_parser.py:22-28,128-146): without pytesseract, image payloads
 yield "" and the row degrades to ``success=false``.
+
+HTML/text payloads are decoded charset-aware (operators/charset.py: BOM →
+in-document declaration → strict-UTF-8 probe → windows-1252 fallback) —
+valid-UTF-8 payloads decode byte-identically to the plain UTF-8 path, so
+the byte-parity oracles are unchanged; legacy-encoded pages stop being
+mojibake.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..html_extract import extract_main_text
 from ..minipdf import extract_pdf_text
+from .charset import decode_payload
 
 try:  # pragma: no cover - optional, not installed here
     import pytesseract  # type: ignore
@@ -54,11 +61,11 @@ def _payload_to_text(payload: bytes | None, kind: str) -> str:
     if kind == "pdf":
         return extract_pdf_text(payload)
     if kind == "html":
-        return extract_main_text(payload.decode("utf-8", errors="replace"))
+        return extract_main_text(decode_payload(payload)[0])
     if kind == "image":
         return _ocr_image_text(payload)
     if kind == "text":
-        return payload.decode("utf-8", errors="replace")
+        return decode_payload(payload)[0]
     return ""
 
 
@@ -68,4 +75,23 @@ def payload_text_udf(payload: pd.Series, kind: pd.Series) -> pd.Series:
     inside the Arrow batch (executor-side), never on the driver."""
     return pd.Series(
         [_payload_to_text(p, k) for p, k in zip(payload, kind)], dtype="object"
+    )
+
+
+# explicit StructType (not a DDL string): DDL parsing needs a live
+# SparkContext, which would make this module un-importable driver-side
+_DECODE_SCHEMA = StructType(
+    [StructField("text", StringType()), StructField("charset", StringType())]
+)
+
+
+@F.pandas_udf(_DECODE_SCHEMA)
+def decode_page_udf(payload: pd.Series) -> pd.DataFrame:
+    """Charset-diagnostic decode: (decoded_text, detected_charset) per
+    payload. A separate UDF so the MAIN pipeline plan keeps its single
+    Python stage and fixed result schema; curation uses this to profile
+    the encoding mix of a crawl slice."""
+    pairs = [decode_payload(p) for p in payload]
+    return pd.DataFrame(
+        {"text": [t for t, _ in pairs], "charset": [c for _, c in pairs]}
     )

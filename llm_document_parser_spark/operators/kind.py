@@ -52,6 +52,16 @@ def doc_kind_col(payload: Column) -> Column:
     # cast(binary as string) reinterprets bytes without UTF-8 validation —
     # decode() would throw MALFORMED_CHARACTER_CODING on real-web garbage
     head = F.substring(payload, 1, 1024).cast("string")
+    # UTF-16/32 BOM'd HTML NUL-interleaves the ASCII marker bytes; strip
+    # NULs before marker matching, gated on the BOM so binary junk can't
+    # accidentally assemble a marker (parity: html_extract.sniff_doc_kind)
+    has_wide_bom = (
+        F.substring(payload, 1, 2).isin(F.lit(b"\xff\xfe"), F.lit(b"\xfe\xff"))
+        | (F.substring(payload, 1, 4) == F.lit(b"\x00\x00\xfe\xff"))
+    )
+    head = F.when(
+        has_wide_bom, F.regexp_replace(head, "\\x00", "")
+    ).otherwise(head)
     is_image = F.lit(False)
     for magic in IMAGE_MAGICS:
         is_image = is_image | (F.substring(payload, 1, len(magic)) == F.lit(magic))

@@ -2208,3 +2208,73 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.regexp_extract_all("text", F.lit(email_rx), 0), F.array())
         ).cast("long").alias("n_email"),
     )
+
+
+@query(
+    "page_charset_decode",
+    """
+    WITH based AS (SELECT doc_id, text FROM documents WHERE doc_id < 240),
+    expect AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                             WHEN 1 THEN 'utf-16-le'
+                             ELSE 'windows-1252' END AS charset,
+             CASE doc_id % 4
+               WHEN 0 THEN text
+               WHEN 1 THEN text
+               WHEN 2 THEN '<meta charset="iso-8859-1">' || text || ' café'
+               ELSE text || ' café' END AS decoded
+      FROM based)
+    SELECT doc_id, charset, md5(decoded) AS text_md5,
+           CAST(length(decoded) AS BIGINT) AS text_len
+    FROM expect
+    """,
+)
+def page_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-sniffing decode (operators/charset.py) verified value-for-value
+    on a deterministic four-way encoding mix the oracle can reconstruct:
+    plain UTF-8, UTF-16-LE with BOM (BOM stripped, text recovered), an
+    in-document `<meta charset="iso-8859-1">` declaration over latin-1 bytes
+    (label normalized to windows-1252 per WHATWG), and undeclared legacy
+    bytes (0xE9) that fail the strict-UTF-8 probe and hit the 1252 fallback.
+    The documents table is printable-ASCII, so the ' café' suffix is the
+    only non-ASCII material and both engines agree byte-for-byte.
+    Reference gap covered: src/document_parser.py:148-159 assumes platform
+    UTF-8; crawl payloads lie about their encoding."""
+    from .operators.extract_udfs import decode_page_udf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    branch = F.col("doc_id") % 4
+    payload = (
+        F.when(branch == 0, F.encode(F.col("text"), "UTF-8"))
+        .when(
+            branch == 1,
+            F.concat(F.lit(b"\xff\xfe"), F.encode(F.col("text"), "UTF-16LE")),
+        )
+        .when(
+            branch == 2,
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="iso-8859-1">'),
+                    F.col("text"),
+                    F.lit(" café"),
+                ),
+                "ISO-8859-1",
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.encode(F.col("text"), "UTF-8"),
+                F.encode(F.lit(" café"), "ISO-8859-1"),
+            )
+        )
+    )
+    decoded = d.select(
+        "doc_id", decode_page_udf(payload).alias("d")
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("d.charset").alias("charset"),
+        F.md5(F.encode(F.col("d.text"), "UTF-8")).alias("text_md5"),
+        F.length(F.col("d.text")).cast("long").alias("text_len"),
+    )
