@@ -60,6 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # any time with tools/check_queries.py) yield their slots so every newer
 # operator gets a driver-attested CORRECTNESS row.
 _DEMOTED = (
+    "expensive_parts_by_brand",
+    "supplier_nation_balance",
     "order_status_cube",
     "order_priority_counts",
     "events_summary",

@@ -1,0 +1,194 @@
+"""Outlink extraction + host link graph + distributed PageRank.
+
+The reference parses documents one at a time and has no notion of the crawl
+graph (its closest surface is the per-document URL/email pattern pull,
+reference: src/document_parser.py:58-105). At web scale the link structure
+IS a first-class curation signal: Common-Crawl-style pipelines rank hosts by
+centrality over the host-to-host link graph and use the score as a quality
+prior for sampling. This module supplies that tier:
+
+1. ``extract_outlinks`` — per-page ``<a href>`` targets pulled with ONE
+   native ``regexp_extract_all`` (no Python), resolved against the page URL.
+   The resolution rule is the documented RE2-safe subset (absolute http(s),
+   scheme-relative ``//host/..``, root-relative ``/path``, and plain
+   relative against the base directory — links containing ``..`` segments
+   are dropped rather than mis-resolved; dot-segment normalization needs
+   unbounded rewriting that a single regex pass cannot express portably).
+2. ``host_link_graph`` — (src_host, dst_host, n_links) edges, self-loops
+   (intra-host navigation) removed: one groupBy.
+3. ``pagerank`` — damped PageRank over the weighted host graph, a fixed
+   number of synchronous iterations; each iteration is one equi-join + one
+   aggregation (+ a 1-row dangling-mass aggregate joined by cross — it
+   broadcasts), with ``localCheckpoint`` lineage truncation every few
+   rounds exactly like dedup.connected_components. No driver-side data:
+   rank state lives in a DataFrame keyed by host, so the iteration count —
+   not the graph size — bounds the plan depth.
+
+Scale notes: the edge list shuffles once on dst_host per iteration; hosts
+are ~10^7 at crawl scale (not 10^12 — pages collapse onto hosts before any
+iteration starts), so rank state is a small fraction of corpus size. Skewed
+in-degree (everyone links to twitter.com) is absorbed by the partial
+aggregation Spark already applies to sum().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .urls import host_of
+
+# href value up to a quote/#: one capture, lookahead-free, (?i) inline flag
+# — identical semantics under Java regex (Spark) and RE2 (DuckDB oracle).
+HREF_RE = r"""(?i)<a[^>]*[\s"']href\s*=\s*["']([^"'#>]+)"""
+
+
+def outlink_targets(html: Column) -> Column:
+    """array<string> of raw href values in ``html`` (may be empty)."""
+    return F.coalesce(
+        F.regexp_extract_all(html, F.lit(HREF_RE), 1), F.array()
+    )
+
+
+def resolve_link(base_url: Column, target: Column) -> Column:
+    """Absolute URL for an href ``target`` found on ``base_url``, or NULL
+    when the target is outside the documented subset (mailto:/javascript:,
+    ``..`` segments, non-http schemes, relative link on an unparseable
+    base). Pure column expressions — usable verbatim inside the oracle."""
+    scheme = F.lower(F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = host_of(base_url)
+    # base directory: path up to and including the last '/' ('' query/frag
+    # stripped); defaults to '/' when the base has no path
+    base_path = F.regexp_replace(
+        F.regexp_extract(base_url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        r"[^/]*$",
+        "",
+    )
+    base_dir = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    is_abs_http = target.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://")
+    is_other_scheme = target.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    has_dotdot = target.rlike(r"(^|/)\.\.(/|$)")
+    resolved = (
+        F.when(is_abs_http, target)
+        .when(target.startswith("//"), F.concat(scheme, F.lit(":"), target))
+        .when(target.startswith("/"), F.concat(scheme, F.lit("://"), host, target))
+        .when(
+            is_other_scheme | has_dotdot | (target == ""), F.lit(None)
+        )
+        .otherwise(F.concat(scheme, F.lit("://"), host, base_dir, target))
+    )
+    return F.when((scheme != "") & (host != ""), resolved)
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html_text"
+) -> DataFrame:
+    """One row per (page url, resolved outlink). ``html_col`` must be a
+    STRING column (decode payloads first — charset.decode_payload); the
+    explode is the only row-multiplying step and stays in codegen."""
+    target = F.explode(outlink_targets(F.col(html_col))).alias("target")
+    links = pages.select(F.col(url_col).alias("url"), target)
+    return links.select(
+        "url", resolve_link(F.col("url"), F.col("target")).alias("outlink")
+    ).filter(F.col("outlink").isNotNull())
+
+
+def host_link_graph(outlinks: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) from an extract_outlinks result,
+    self-loops removed; the crawl-graph input to pagerank()."""
+    edges = outlinks.select(
+        host_of(F.col("url")).alias("src_host"),
+        host_of(F.col("outlink")).alias("dst_host"),
+    ).filter(
+        (F.col("src_host") != "")
+        & (F.col("dst_host") != "")
+        & (F.col("src_host") != F.col("dst_host"))
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted damped PageRank over (src_host, dst_host, n_links) edges.
+
+    Semantics (mirrored exactly by the unrolled-CTE DuckDB oracle in
+    queries._pagerank_oracle): nodes = all hosts appearing on either side;
+    initial rank 1/N; each iteration
+
+        rank'(v) = (1-d)/N + d * (SUM over in-edges u->v of
+                   rank(u) * n_links(u,v) / out_weight(u)  +  dangling/N)
+
+    where dangling is the rank mass on nodes with no outgoing edges. Total
+    mass stays 1 every iteration. Synchronous updates, fixed iteration
+    count (crawl practice: ~weekly batch with a fixed budget, not
+    convergence-driven).
+
+    Plan per iteration: broadcast-able 1-row dangling aggregate, one
+    equi-join ranks⋈edges on src, one groupBy dst — all key-partitioned;
+    ``localCheckpoint`` every ``checkpoint_every`` iterations truncates
+    lineage the same way dedup.connected_components does.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    edges = edges.select("src_host", "dst_host", "n_links")
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_weight"))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # scalar graph cardinality, not data collection
+    if n_nodes == 0:
+        return nodes.select("host", F.lit(0.0).alias("pagerank"))
+    base = (1.0 - damping) / n_nodes
+    # (host, out_weight|null) — null marks dangling nodes
+    state = nodes.join(out_w, nodes.host == out_w.src_host, "left").select(
+        "host", "out_weight", F.lit(1.0 / n_nodes).alias("rank")
+    )
+    state = state.localCheckpoint(eager=True)
+    last_ckpt = state
+    for i in range(iterations):
+        dangling = state.filter(F.col("out_weight").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        )
+        contribs = (
+            state.join(edges, state.host == edges.src_host)
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("rank") * F.col("n_links") / F.col("out_weight")).alias(
+                    "c"
+                ),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        state = (
+            state.select("host", "out_weight")
+            .join(contribs, "host", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                "out_weight",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            state = state.localCheckpoint(eager=True)
+            # release the superseded checkpoint's executor storage
+            # (round-3 ADVICE lesson from connected_components)
+            last_ckpt.unpersist()
+            last_ckpt = state
+    return state.select("host", F.col("rank").alias("pagerank"))

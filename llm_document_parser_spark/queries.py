@@ -2278,3 +2278,182 @@ def page_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("d.text"), "UTF-8")).alias("text_md5"),
         F.length(F.col("d.text")).cast("long").alias("text_len"),
     )
+
+
+# ===========================================================================
+# link graph: outlink extraction + host PageRank (operators/links.py)
+# ===========================================================================
+
+# DuckDB-side copy of links.HREF_RE with the SQL single-quote doubling; both
+# engines run the literally-same RE2-compatible pattern.
+def _href_re_sql() -> str:
+    from .operators.links import HREF_RE
+
+    return HREF_RE.replace("'", "''")
+
+
+# Deterministic synthetic page construction shared (by reconstruction) with
+# the oracle: 4 resolvable link shapes + 1 dropped mailto per document.
+def _synth_link_html(did: Column, src_host: Column) -> Column:
+    return F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((did + 1) % 7).cast("string"),
+        F.lit('.example/x/'),
+        did.cast("string"),
+        F.lit('">abs</a><A HREF=\'//cdn'),
+        (did % 3).cast("string"),
+        F.lit(".example/lib.js'>cdn</A>"),
+        F.lit('<a href="/root/'),
+        (did % 5).cast("string"),
+        F.lit('">root</a><a href="rel'),
+        (did % 4).cast("string"),
+        F.lit('.html">rel</a><a href="mailto:x@y.z">m</a></body></html>'),
+    )
+
+
+@query(
+    "page_outlinks",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/dir/p'
+               || CAST(doc_id AS VARCHAR) || '.html' AS url,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS src_host,
+             '<html><body><a href="https://h' || CAST((doc_id + 1) % 7 AS VARCHAR)
+               || '.example/x/' || CAST(doc_id AS VARCHAR)
+               || '">abs</a><A HREF=''//cdn' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example/lib.js''>cdn</A><a href="/root/'
+               || CAST(doc_id % 5 AS VARCHAR) || '">root</a><a href="rel'
+               || CAST(doc_id % 4 AS VARCHAR)
+               || '.html">rel</a><a href="mailto:x@y.z">m</a></body></html>'
+               AS html
+      FROM documents WHERE doc_id < 160),
+    targets AS (
+      SELECT url, src_host,
+             unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS target
+      FROM pages),
+    resolved AS (
+      SELECT url,
+             CASE WHEN lower(target) LIKE 'http://%'
+                       OR lower(target) LIKE 'https://%' THEN target
+                  WHEN target LIKE '//%' THEN 'https:' || target
+                  WHEN target LIKE '/%' THEN 'https://' || src_host || target
+                  WHEN regexp_matches(target, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                       THEN NULL
+                  ELSE 'https://' || src_host || '/dir/' || target END
+               AS outlink
+      FROM targets)
+    SELECT url, outlink FROM resolved WHERE outlink IS NOT NULL
+    """,
+)
+def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (operators/links.py) over deterministic synthetic
+    pages the oracle reconstructs: both engines run the LITERAL same
+    (?i) href pattern (Java regex vs RE2) and the same prefix-shaped
+    resolution rules — absolute kept, scheme-relative gets the base scheme,
+    root-relative gets scheme://host, plain relative joins the base
+    directory, mailto: dropped. Cross-engine regex parity is the point:
+    a Java-only construct in HREF_RE would fail this row loudly."""
+    from .operators.links import extract_outlinks
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    did = F.col("doc_id")
+    src_host = F.concat(
+        F.lit("h"), (did % 7).cast("string"), F.lit(".example")
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"),
+            src_host,
+            F.lit("/dir/p"),
+            did.cast("string"),
+            F.lit(".html"),
+        ).alias("url"),
+        _synth_link_html(did, src_host).alias("html_text"),
+    )
+    return extract_outlinks(pages)
+
+
+def _pagerank_oracle(edges_cte: str, iters: int, damping: float) -> str:
+    """Unrolled-CTE DuckDB PageRank with the documented semantics (weighted
+    edges, dangling mass uniform, synchronous damped updates). Unrolling
+    sidesteps recursive-CTE aggregation restrictions and keeps every
+    iteration independently inspectable."""
+    parts = [
+        f"WITH {edges_cte},",
+        "outw AS (SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS out_weight"
+        " FROM edges GROUP BY src_host),",
+        "nodes AS (SELECT DISTINCT host FROM (SELECT src_host AS host"
+        " FROM edges UNION ALL SELECT dst_host FROM edges)),",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),",
+        "r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for i in range(iters):
+        prev = f"r{i}"
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {prev} r"
+            " LEFT JOIN outw o ON r.host = o.src_host"
+            " WHERE o.src_host IS NULL),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst_host AS host,"
+            " sum(r.rank * e.n_links / o.out_weight) AS in_mass"
+            f" FROM {prev} r JOIN edges e ON r.host = e.src_host"
+            " JOIN outw o ON o.src_host = e.src_host GROUP BY e.dst_host),"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT n.host,"
+            f" (1 - {damping}) / (SELECT n FROM nn) + {damping} *"
+            f" (coalesce(c.in_mass, 0.0) + (SELECT dm FROM d{i}) /"
+            f" (SELECT n FROM nn)) AS rank"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.host = c.host),"
+        )
+    parts.append(
+        f"final AS (SELECT host, rank FROM r{iters})"
+        " SELECT host, round(rank, 7) AS pr_r FROM final"
+    )
+    return "\n".join(parts)
+
+
+_PR_EDGES_CTE = """edges AS (
+  SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) AS src_host,
+         'h' || CAST((doc_id * 5 + 3) % 14 AS VARCHAR) AS dst_host,
+         CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_links
+  FROM documents
+  WHERE doc_id < 200
+    AND 'h' || CAST(doc_id % 12 AS VARCHAR)
+        <> 'h' || CAST((doc_id * 5 + 3) % 14 AS VARCHAR)
+  GROUP BY 1, 2)"""
+
+
+@query("host_pagerank", None)  # oracle attached below (generated SQL)
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/links.py) on a deterministic host
+    graph derived from doc_id arithmetic — hosts h12/h13 appear only as
+    targets (dangling), several hosts have no in-links, weights vary.
+    3 synchronous iterations, damping 0.85; the oracle is the SAME algebra
+    unrolled as chained DuckDB CTEs, matched to 7 decimals (double-sum
+    ordering differs across engines below ~1e-14 — far inside the round).
+    Independent NumPy power-iteration parity is pinned in
+    tests/test_links.py."""
+    from .operators.links import pagerank
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    src = F.concat(F.lit("h"), (did % 12).cast("string"))
+    dst = F.concat(F.lit("h"), ((did * 5 + 3) % 14).cast("string"))
+    edges = (
+        d.select(src.alias("src_host"), dst.alias("dst_host"), did)
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum(F.col("doc_id") % 3 + 1).alias("n_links"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("host", F.round("pagerank", 7).alias("pr_r"))
+
+
+ORACLES["host_pagerank"] = _pagerank_oracle(_PR_EDGES_CTE, 3, 0.85)
+# splice the literal shared pattern into the page_outlinks oracle (the SQL
+# is not an f-string, so the placeholder survives to here)
+ORACLES["page_outlinks"] = ORACLES["page_outlinks"].replace(
+    "{HREF_RE}", _href_re_sql()
+)
