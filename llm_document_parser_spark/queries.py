@@ -2457,3 +2457,73 @@ ORACLES["host_pagerank"] = _pagerank_oracle(_PR_EDGES_CTE, 3, 0.85)
 ORACLES["page_outlinks"] = ORACLES["page_outlinks"].replace(
     "{HREF_RE}", _href_re_sql()
 )
+
+
+@query(
+    "warc_roundtrip",
+    """
+    WITH based AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           'https://w' || CAST(doc_id % 9 AS VARCHAR) || '.example/p'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST('2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                || ' 12:00:00' AS TIMESTAMP) AS warc_ts,
+           md5(text) AS body_md5,
+           'text/html' AS content_type
+    FROM based
+    """,
+)
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC framing roundtrip, cross-engine: Spark builds VALID WARC/1.0
+    response records natively (headers, ISO WARC-Date, HTTP envelope, both
+    Content-Length fields computed with F.length — the documents table is
+    ASCII so char length == byte length), then the warc.py parser
+    (parse_warc_record_udf → iter_warc_records → split_http_response)
+    recovers url / timestamp / body, and the oracle reconstructs the
+    expected values arithmetically. A framing bug anywhere in the parser
+    (offset math, CRLF handling, header folding, date parse) mismatches
+    this row. File-level ingest of the same parser: tests/test_warc.py."""
+    from .warc import parse_warc_record_udf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://w"), (did % 9).cast("string"), F.lit(".example/p"),
+        did.cast("string"),
+    )
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    warc_date = F.concat(F.lit("2024-03-"), day, F.lit("T12:00:00Z"))
+    body_len = F.length("text").cast("string")
+    http_pre = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        body_len,
+        F.lit("\r\n\r\n"),
+    )
+    http_len = (F.length(http_pre) + F.length("text")).cast("string")
+    warc_bytes = F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: "),
+            warc_date,
+            F.lit(
+                "\r\nWARC-Record-ID: <urn:uuid:0>\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                "Content-Length: "
+            ),
+            http_len,
+            F.lit("\r\n\r\n"),
+            http_pre,
+            F.col("text"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    parsed = d.select("doc_id", parse_warc_record_udf(warc_bytes).alias("p"))
+    return parsed.select(
+        "doc_id",
+        F.col("p.url").alias("url"),
+        F.col("p.warc_ts").alias("warc_ts"),
+        F.md5(F.col("p.html")).alias("body_md5"),
+        F.col("p.content_type").alias("content_type"),
+    )
