@@ -193,6 +193,58 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     per_query["decontaminate_50k"] = round(time.perf_counter() - t0, 3)
 
+    # --- timed: link graph + PageRank over the same 50k raw pages ---
+    # outlinks come from RAW html (boilerplate stripping removes <a> tags),
+    # cast(binary as string) — datagen payloads are UTF-8. Host graph is the
+    # production shape: one explode + one groupBy; PageRank 3 iterations on
+    # the resulting host graph (one equi-join + agg per iteration).
+    from llm_document_parser_spark.operators import links
+
+    pages_raw = spark.read.parquet(dedup_pages).select(
+        "url", F.col("html").cast("string").alias("html_text")
+    )
+    t0 = time.perf_counter()
+    host_edges = links.host_link_graph(links.extract_outlinks(pages_raw))
+    host_edges.write.format("noop").mode("overwrite").save()
+    per_query["outlinks_hostgraph_50k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    links.pagerank(host_edges, iterations=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query["host_pagerank_50k"] = round(time.perf_counter() - t0, 3)
+
+    # --- timed: WARC record parse at width (Arrow-batched Python parser) ---
+    from llm_document_parser_spark.warc import parse_warc_record_udf
+
+    body_len = F.length(F.col("html_text")).cast("string")
+    http_pre = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        body_len,
+        F.lit("\r\n\r\n"),
+    )
+    warc_bytes = F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            F.col("url"),
+            F.lit(
+                "\r\nWARC-Date: 2024-03-01T00:00:00Z\r\nWARC-Record-ID: <u:0>"
+                "\r\nContent-Type: application/http; msgtype=response\r\n"
+                "Content-Length: "
+            ),
+            (F.length(http_pre) + F.length("html_text")).cast("string"),
+            F.lit("\r\n\r\n"),
+            http_pre,
+            F.col("html_text"),
+            F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+    t0 = time.perf_counter()
+    pages_raw.select(parse_warc_record_udf(warc_bytes).alias("p")).select(
+        "p.url", "p.warc_ts"
+    ).write.format("noop").mode("overwrite").save()
+    per_query["warc_parse_50k"] = round(time.perf_counter() - t0, 3)
+
     total = round(extract_secs + sum(per_query.values()), 3)
     print(
         json.dumps(
