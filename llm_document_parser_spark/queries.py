@@ -651,6 +651,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_nfc_stats",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, 'e', 'e' || chr(769))
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           length(t) AS raw_chars,
+           length(nfc_normalize(t)) AS nfc_chars,
+           length(t) - length(nfc_normalize(t)) AS composed,
+           md5(nfc_normalize(t)) AS nfc_digest
+    FROM inj
+    """,
+)
+def doc_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization, cross-engine: the documents table is
+    ASCII by construction, so every third doc deterministically gets its
+    'e's decomposed into e + U+0301 (combining acute) on BOTH sides; the
+    engine's unicodedata-backed pandas UDF (operators/normalize.py) must
+    then agree with DuckDB's utf8proc ``nfc_normalize`` on code-point
+    counts AND on the md5 of the recomposed UTF-8 bytes — two independent
+    Unicode implementations checking each other per document."""
+    from .operators.normalize import nfc_stats
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return nfc_stats(injected, "doc_id", "t")
+
+
+@query(
     "canonical_url_stats",
     r"""
     WITH urls AS (
