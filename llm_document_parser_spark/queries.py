@@ -651,6 +651,35 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), t AS (SELECT * FROM toks WHERE token <> ''),
+    vocab AS (SELECT token, count(*)::DOUBLE AS c FROM t GROUP BY token),
+    tot AS (SELECT sum(c) AS s FROM vocab),
+    lm AS (SELECT token, ln(c / s) AS logp FROM vocab, tot)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-logp), 6) AS avg_neg_logp
+    FROM t JOIN lm USING (token)
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (unigram perplexity proxy): train
+    token statistics over the corpus, broadcast the model, score every
+    document map-side (operators/lm.py). The oracle re-derives the same
+    model and scores in pure SQL — both engines compute ln(count/total)
+    independently and must agree per document to 6 decimals."""
+    from .operators.lm import score_unigram_logprob, train_unigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_unigram_lm(d, "text")
+    return score_unigram_logprob(d, lm, "doc_id", "text")
+
+
+@query(
     "doc_nfc_stats",
     r"""
     WITH inj AS (
