@@ -1,0 +1,99 @@
+"""HTML metadata extraction — title / meta description / canonical / og / lang.
+
+A Common-Crawl extraction pipeline needs page metadata alongside main
+content: <title> and meta-description feed search indexing and quality
+signals, rel=canonical feeds URL canonicalization (operators/urls.py
+handles the syntactic tier; the page's own declared canonical is the
+semantic tier), og:* powers dedup of syndicated articles, and the <html
+lang> attribute cross-checks the statistical language-ID
+(textstats.lang_id). Reference analog: the reference stores a
+``text_preview`` + filename per document (src/api_server.py:2162-2182);
+for web pages the in-document metadata IS that preview layer.
+
+Everything here is a native column expression (``regexp_extract`` inside
+whole-stage codegen — zero Python, no shuffle). Patterns are
+RE2-portable: inline ``(?is)`` flags, non-greedy dots, no backreferences
+or lookaround — the DuckDB oracle runs character-identical regexes.
+
+Extraction spec v1 (deterministic, documented limits):
+  * first match wins, '' when absent (both engines' regexp_extract);
+  * attributes must appear in source order ``name/property/rel`` before
+    ``content/href`` within the tag — the overwhelmingly dominant order
+    in real markup; reversed-attribute tags are a documented miss;
+  * values read from single- OR double-quoted attributes;
+  * title text is whitespace-collapsed, entity-decoded (the html_extract
+    entity subset), and trimmed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title"
+_LANG_RE = r"""(?is)<html\s[^>]*lang\s*=\s*["']([^"']*)"""
+
+
+def _meta_named_re(attr: str, key: str) -> str:
+    # <meta name="description" ... content="..."> / single quotes / any case
+    return (
+        r"(?is)<meta\s[^>]*" + attr + r"\s*=\s*[\"']" + key
+        + r"[\"'][^>]*content\s*=\s*[\"']([^\"']*)"
+    )
+
+
+def _link_rel_re(rel: str) -> str:
+    return (
+        r"(?is)<link\s[^>]*rel\s*=\s*[\"']" + rel
+        + r"[\"'][^>]*href\s*=\s*[\"']([^\"']*)"
+    )
+
+
+def _clean_inline_text(c: Column) -> Column:
+    c = F.regexp_replace(c, r"\s+", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(c)
+
+
+def page_title(html: Column) -> Column:
+    return _clean_inline_text(F.regexp_extract(html, TITLE_RE, 1))
+
+
+def meta_description(html: Column) -> Column:
+    return _clean_inline_text(
+        F.regexp_extract(html, _meta_named_re("name", "description"), 1)
+    )
+
+
+def canonical_href(html: Column) -> Column:
+    return F.trim(F.regexp_extract(html, _link_rel_re("canonical"), 1))
+
+
+def og_content(html: Column, prop: str) -> Column:
+    return _clean_inline_text(
+        F.regexp_extract(html, _meta_named_re("property", prop), 1)
+    )
+
+
+def declared_lang(html: Column) -> Column:
+    return F.lower(F.trim(F.regexp_extract(html, _LANG_RE, 1)))
+
+
+def page_metadata(df: DataFrame, html_col: str = "html_text") -> DataFrame:
+    """Append the five metadata columns to ``df``. ``html_col`` is the
+    DECODED html string (use charset.decode_payload / the pipeline's
+    decode stage for binary payloads first)."""
+    h = F.col(html_col)
+    return df.withColumns(
+        {
+            "title": page_title(h),
+            "meta_description": meta_description(h),
+            "canonical": canonical_href(h),
+            "og_title": og_content(h, "og:title"),
+            "declared_lang": declared_lang(h),
+        }
+    )

@@ -651,6 +651,108 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "page_metadata",
+    r"""
+    WITH b AS (
+      SELECT doc_id, lang, source, text,
+             CASE WHEN doc_id % 2 = 0 THEN '"' ELSE '''' END AS q,
+             doc_id % 3 = 0 AS up,
+             doc_id % 5 <> 4 AS has_meta
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+        (CASE WHEN up THEN '<HTML LANG=' ELSE '<html lang=' END)
+        || q || upper(lang) || q || '><head><meta charset=' || q || 'utf-8'
+        || q || '>'
+        || (CASE WHEN up THEN '<TITLE>' ELSE '<title>' END)
+        || 'Doc &amp; ' || doc_id || '  ' || substr(text, 1, 12)
+        || (CASE WHEN up THEN '</TITLE>' ELSE '</title>' END)
+        || (CASE WHEN has_meta THEN
+              '<meta name=' || q || 'description' || q || ' id=' || q || 'm1'
+              || q || ' content=' || q || 'Desc ' || doc_id
+              || ' &quot;x&quot;' || q || '>'
+              || '<link rel=' || q || 'canonical' || q || ' href=' || q
+              || 'https://' || source || '.example/c/' || doc_id || q || '>'
+            ELSE '' END)
+        || '<meta property=' || q || 'og:title' || q || ' content=' || q
+        || 'OG ' || doc_id || q || '>'
+        || '</head><body><p>' || substr(text, 1, 40)
+        || '</p><title>decoy</title></body></html>' AS h
+      FROM b
+    )
+    SELECT doc_id,
+      trim(replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title', 1),
+                       '\s+', ' ', 'g'),
+        '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+        '&apos;',''''),'&nbsp;',' ')) AS title,
+      trim(replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_extract(h,
+          '(?is)<meta\s[^>]*name\s*=\s*["'']description["''][^>]*content\s*=\s*["'']([^"'']*)',
+          1), '\s+', ' ', 'g'),
+        '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+        '&apos;',''''),'&nbsp;',' ')) AS meta_description,
+      trim(regexp_extract(h,
+        '(?is)<link\s[^>]*rel\s*=\s*["'']canonical["''][^>]*href\s*=\s*["'']([^"'']*)',
+        1)) AS canonical,
+      trim(replace(replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_extract(h,
+          '(?is)<meta\s[^>]*property\s*=\s*["'']og:title["''][^>]*content\s*=\s*["'']([^"'']*)',
+          1), '\s+', ' ', 'g'),
+        '&amp;','&'),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+        '&apos;',''''),'&nbsp;',' ')) AS og_title,
+      lower(trim(regexp_extract(h,
+        '(?is)<html\s[^>]*lang\s*=\s*["'']([^"'']*)', 1))) AS declared_lang
+    FROM built
+    """,
+)
+def page_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML metadata extraction, cross-engine: both engines build the SAME
+    hostile markup per document (alternating quote styles, upper/lowercase
+    tags, extra attributes between name and content, entities in the
+    title/description, a decoy second <title>, every 5th doc missing the
+    description+canonical tags entirely), then each extracts
+    title/description/canonical/og:title/lang with its OWN regex engine
+    (Java regex in codegen vs DuckDB RE2) and its own entity-decode chain.
+    Any divergence in pattern semantics, flag handling, first-match rule,
+    or decode order mismatches a row."""
+    from .operators import metadata
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    q = F.when(F.col("doc_id") % 2 == 0, F.lit('"')).otherwise(F.lit("'"))
+    up = F.col("doc_id") % 3 == 0
+    has_meta = F.col("doc_id") % 5 != 4
+    h = F.concat(
+        F.when(up, F.lit("<HTML LANG=")).otherwise(F.lit("<html lang=")),
+        q, F.upper("lang"), q,
+        F.lit("><head><meta charset="), q, F.lit("utf-8"), q, F.lit(">"),
+        F.when(up, F.lit("<TITLE>")).otherwise(F.lit("<title>")),
+        F.lit("Doc &amp; "), did, F.lit("  "), F.substring("text", 1, 12),
+        F.when(up, F.lit("</TITLE>")).otherwise(F.lit("</title>")),
+        F.when(
+            has_meta,
+            F.concat(
+                F.lit("<meta name="), q, F.lit("description"), q,
+                F.lit(" id="), q, F.lit("m1"), q,
+                F.lit(" content="), q, F.lit("Desc "), did,
+                F.lit(" &quot;x&quot;"), q, F.lit(">"),
+                F.lit("<link rel="), q, F.lit("canonical"), q,
+                F.lit(" href="), q, F.lit("https://"), F.col("source"),
+                F.lit(".example/c/"), did, q, F.lit(">"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<meta property="), q, F.lit("og:title"), q,
+        F.lit(" content="), q, F.lit("OG "), did, q, F.lit(">"),
+        F.lit("</head><body><p>"), F.substring("text", 1, 40),
+        F.lit("</p><title>decoy</title></body></html>"),
+    )
+    return metadata.page_metadata(
+        d.select("doc_id", h.alias("html_text")), "html_text"
+    ).drop("html_text")
+
+
+@query(
     "doc_unigram_logprob",
     r"""
     WITH toks AS (
