@@ -89,6 +89,42 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# writing-system (Unicode script) profile
+# ---------------------------------------------------------------------------
+# Statistical lang_id above is stopword-based and only speaks
+# space-separated Latin-script languages; a multilingual crawl needs the
+# script tier first (CJK/Arabic/Cyrillic pages would all fall to 'und').
+# Counting is one native regexp_replace per script — Java regex
+# \p{IsXxx} here, RE2 \p{Xxx} in the oracle: two independent Unicode
+# script-property tables checking each other.
+
+SCRIPT_ORDER = ("latin", "cyrillic", "han", "arabic")
+_JAVA_SCRIPT = {
+    "latin": "IsLatin",
+    "cyrillic": "IsCyrillic",
+    "han": "IsHan",
+    "arabic": "IsArabic",
+}
+
+
+def script_char_count(text: Column, script: str) -> Column:
+    return F.length(
+        F.regexp_replace(text, f"[^\\p{{{_JAVA_SCRIPT[script]}}}]", "")
+    ).cast("long")
+
+
+def dominant_script(text: Column) -> Column:
+    """Argmax script by character count; ties break in SCRIPT_ORDER;
+    zero letters in every tracked script → 'none'."""
+    counts = {s: script_char_count(text, s) for s in SCRIPT_ORDER}
+    best = F.greatest(*counts.values())
+    result = F.lit("none")
+    for s in reversed(SCRIPT_ORDER):
+        result = F.when((best > 0) & (counts[s] == best), F.lit(s)).otherwise(result)
+    return result
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased text
     (portable rolling-hash stand-in; see dedup.simhash_bits for the

@@ -650,6 +650,78 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic non-Latin blocks appended to the (all-ASCII) documents
+# table on BOTH engines so the script profile has real work to do.
+_CYR = " привет мир"  # привет мир
+_HAN = " 漢字文章内容"  # 漢字文章内容
+_ARA = " مرحبا بالعالم"  # مرحبا بالعالم
+
+
+@query(
+    "doc_script_profile",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text ||
+             CASE
+               WHEN doc_id % 8 = 1 THEN repeat('{_CYR}', 60)
+               WHEN doc_id % 4 = 1 THEN '{_CYR}'
+               WHEN doc_id % 4 = 2 THEN '{_HAN}'
+               WHEN doc_id % 4 = 3 THEN '{_ARA}'
+               ELSE ''
+             END AS t
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             length(regexp_replace(t, '[^\\p{{Latin}}]', '', 'g')) AS latin_chars,
+             length(regexp_replace(t, '[^\\p{{Cyrillic}}]', '', 'g')) AS cyrillic_chars,
+             length(regexp_replace(t, '[^\\p{{Han}}]', '', 'g')) AS han_chars,
+             length(regexp_replace(t, '[^\\p{{Arabic}}]', '', 'g')) AS arabic_chars
+      FROM inj
+    )
+    SELECT doc_id, latin_chars, cyrillic_chars, han_chars, arabic_chars,
+           CASE
+             WHEN greatest(latin_chars, cyrillic_chars, han_chars, arabic_chars) = 0
+               THEN 'none'
+             WHEN latin_chars >= greatest(cyrillic_chars, han_chars, arabic_chars)
+               THEN 'latin'
+             WHEN cyrillic_chars >= greatest(han_chars, arabic_chars)
+               THEN 'cyrillic'
+             WHEN han_chars >= arabic_chars THEN 'han'
+             ELSE 'arabic'
+           END AS dominant_script
+    FROM counts
+    """,
+)
+def doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profile, cross-engine: deterministic Cyrillic / Han /
+    Arabic blocks are appended to the ASCII corpus on both sides (every
+    8th doc gets a Cyrillic block big enough to DOMINATE, exercising the
+    argmax, not just the counts); then Java regex \\p{IsXxx} classes and
+    DuckDB RE2 \\p{Xxx} classes — two independently-maintained Unicode
+    script tables — must agree char-for-char and on the argmax."""
+    from .operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 8 == 1, F.repeat(F.lit(_CYR), 60))
+        .when(did % 4 == 1, F.lit(_CYR))
+        .when(did % 4 == 2, F.lit(_HAN))
+        .when(did % 4 == 3, F.lit(_ARA))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        *[
+            textstats.script_char_count(t, s).alias(f"{s}_chars")
+            for s in textstats.SCRIPT_ORDER
+        ],
+        textstats.dominant_script(t).alias("dominant_script"),
+    )
+
+
 @query(
     "page_metadata",
     r"""
