@@ -157,14 +157,13 @@ def minhash_candidate_pairs(
     return _pairs_from_exploded_shingles(sh, num_hashes, bands, hash_fn)
 
 
-def _pairs_from_exploded_shingles(
+def _band_table(
     sh: DataFrame, num_hashes: int, bands: int, hash_fn: str
 ) -> DataFrame:
-    """Banded LSH candidate pairs from an exploded (id, s) shingle table —
-    shared by minhash_candidate_pairs and verified_near_dup_pairs so the
-    verifier can feed a MATERIALIZED shingle table instead of re-running
-    the shingle HOF (measured: the interpreted higher-order transform is
-    the dominant cost at ~18 µs/shingle, not the hashing)."""
+    """(id, band, key) LSH band table from an exploded (id, s) shingle
+    table. The unit every LSH consumer shares: self-join it for in-corpus
+    pairs, persist it as the corpus INDEX for incremental dedup, join a
+    new batch's table against a persisted one for increment-vs-corpus."""
     rows_per_band = num_hashes // bands
     if hash_fn == "fast":
         mins = [
@@ -192,9 +191,20 @@ def _pairs_from_exploded_shingles(
         )
         for b in range(bands)
     ]
-    banded = sig_df.select(
+    return sig_df.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _pairs_from_exploded_shingles(
+    sh: DataFrame, num_hashes: int, bands: int, hash_fn: str
+) -> DataFrame:
+    """Banded LSH candidate pairs from an exploded (id, s) shingle table —
+    shared by minhash_candidate_pairs and verified_near_dup_pairs so the
+    verifier can feed a MATERIALIZED shingle table instead of re-running
+    the shingle HOF (measured: the interpreted higher-order transform is
+    the dominant cost at ~18 µs/shingle, not the hashing)."""
+    banded = _band_table(sh, num_hashes, bands, hash_fn)
     other = banded.select(
         F.col("id").alias("id_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b")
     )
@@ -208,6 +218,77 @@ def _pairs_from_exploded_shingles(
         # ids keep their NATIVE type (url-keyed callers pass strings; a
         # cast('long') here would null them out and silently match nothing)
         .select(F.col("id").alias("id_a"), F.col("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: persisted corpus index × new batch
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The persistable corpus near-dup INDEX: ``(id, band, key)``, one row
+    per (doc, band). Write it partitioned/bucketed by ``(band, key)`` next
+    to the corpus; each daily increment then joins against it WITHOUT
+    re-shingling the trillion-row corpus — the index is ``bands`` rows per
+    corpus doc, and the increment side does all the new hashing. The
+    geometry tuple (shingle_k, num_hashes, bands, hash_fn) is part of the
+    index's identity: an increment probed with different parameters finds
+    garbage — persist the tuple alongside (e.g. directory name) and assert
+    it on read."""
+    sh = (
+        df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("s"),
+        )
+    )
+    return _band_table(sh, num_hashes, bands, hash_fn)
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an existing corpus index
+    (from ``minhash_band_index``, SAME geometry): distinct
+    ``(new_id, corpus_id)``. Only the increment is shingled/hashed; the
+    join runs on (band, key) — equi-join, broadcastable when the increment
+    is small relative to the corpus (Catalyst/AQE decides; the new side's
+    band table is ``bands`` rows per new doc).
+
+    New-vs-new duplicates inside the batch are a separate concern: run
+    ``minhash_candidate_pairs`` on the increment itself, then append the
+    increment's band table to the index for the next cycle."""
+    new_bands = minhash_band_index(
+        new_df, id_col, text_col, shingle_k, num_hashes, bands, hash_fn
+    )
+    idx = index.select(
+        F.col("id").alias("corpus_id"),
+        F.col("band").alias("band_i"),
+        F.col("key").alias("key_i"),
+    )
+    return (
+        new_bands.join(
+            idx,
+            (F.col("band") == F.col("band_i")) & (F.col("key") == F.col("key_i")),
+        )
+        .select(F.col("id").alias("new_id"), F.col("corpus_id"))
         .distinct()
     )
 

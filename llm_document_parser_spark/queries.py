@@ -1266,6 +1266,55 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_near_dups",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, lower(text) AS t, 'corpus' AS side
+      FROM documents WHERE doc_id < 40),
+    newb AS (
+      SELECT doc_id + 100000 AS id,
+             lower(substr(text, strpos(text, ' ') + 1)) AS t, 'new' AS side
+      FROM documents WHERE doc_id < 40 AND doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lower(text), 'new'
+      FROM documents WHERE doc_id >= 40 AND doc_id < 60),
+    base AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+    tok AS (SELECT id, side, string_split(t, ' ') AS tk FROM base),
+    sh AS (SELECT id, side,
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           FROM tok WHERE len(tk) >= 3),
+    sig AS (SELECT id, side, {{sig_sql}} AS sg FROM sh),
+    band AS (SELECT id, side, b, sg[2*b+1] || '|' || sg[2*b+2] AS key
+             FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) u)
+    SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+    FROM band n JOIN band c ON n.b = c.b AND n.key = c.key
+    WHERE n.side = 'new' AND c.side = 'corpus'
+    """.replace("{sig_sql}", _MINHASH_SIG_SQL),
+)
+def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-crawl production pattern: the corpus
+    ships a persisted (id, band, key) MinHash index
+    (dedup.minhash_band_index); a new batch (drop-first-word mutations of
+    half the corpus + 20 genuinely fresh docs) is shingled/hashed ALONE
+    and equi-joined against that index (dedup.incremental_near_dups) —
+    the corpus itself is never re-shingled. Oracle re-derives both sides'
+    band tables in SQL and joins new×corpus."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    index = dedup.minhash_band_index(corpus, num_hashes=8, bands=4)
+    mutated = d.filter((F.col("doc_id") < 40) & (F.col("doc_id") % 2 == 0)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
+    )
+    fresh = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).select(
+        "doc_id", "text"
+    )
+    new_batch = mutated.unionByName(fresh)
+    return dedup.incremental_near_dups(new_batch, index, num_hashes=8, bands=4)
+
+
+@query(
     "verified_near_dup_pairs",
     _MINHASH_ORACLE.replace(
         "SELECT DISTINCT a.id AS id_a, b.id AS id_b\n"

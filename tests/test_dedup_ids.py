@@ -140,3 +140,59 @@ def test_near_dup_clusters_singletons_self_label(spark):
     # near-dups url-1/url-2 share the min id; url-3 is its own cluster
     assert out["url-1"] == out["url-2"] == "url-1"
     assert out["url-3"] == "url-3"
+
+
+def test_incremental_near_dups_url_ids_index_roundtrip(spark, tmp_path):
+    """The incremental path end-to-end with NATIVE url keys: build the
+    corpus band index, persist it to parquet (the production handoff),
+    read it back, probe with a new batch containing one near-dup of a
+    corpus doc and one fresh doc."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    corpus = spark.createDataFrame(
+        [("https://c/1", base),
+         ("https://c/2", "completely different corpus text here " * 8)],
+        "doc_id string, text string",
+    )
+    idx_path = str(tmp_path / "band_index.parquet")
+    dedup.minhash_band_index(corpus, num_hashes=8, bands=4).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new_batch = spark.createDataFrame(
+        [("https://n/1", base.replace("quick ", "", 1)),
+         ("https://n/2", "entirely novel never seen content " * 8)],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup.incremental_near_dups(
+            new_batch, index, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert ("https://n/1", "https://c/1") in got
+    assert all(n != "https://n/2" for n, _ in got)
+
+
+def test_incremental_matches_self_join_on_split_corpus(spark):
+    """Splitting a corpus into (index half, increment half) and probing
+    must find exactly the cross pairs the full self-join finds."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (1, base),
+        (2, base.replace("beta ", "", 1)),  # near-dup of 1
+        (3, "other text entirely about something else " * 6),
+        (4, base.replace("gamma ", "", 1)),  # near-dup of 1 and 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    old = docs.filter(F.col("doc_id") <= 2)
+    new = docs.filter(F.col("doc_id") >= 3)
+    idx = dedup.minhash_band_index(old, num_hashes=8, bands=4)
+    inc = {
+        (r["corpus_id"], r["new_id"])
+        for r in dedup.incremental_near_dups(new, idx, num_hashes=8, bands=4).collect()
+    }
+    cross_full = {(a, b) for a, b in full if a <= 2 and b >= 3}
+    assert inc == cross_full
