@@ -98,3 +98,73 @@ def url_depth(url: Column) -> Column:
     """Number of non-empty path segments of the canonical path."""
     path, _ = _path_and_query(url)
     return F.size(F.filter(F.split(path, "/"), lambda x: x != "")).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# host blocklist (UT1/adult-list-style URL filtering tier)
+# ---------------------------------------------------------------------------
+# Blocklists are registrable-domain entries with subdomain semantics:
+# blocking "tracker.example" must also drop "cdn.eu.tracker.example".
+# Suffix match is not an equi-join, so the scale-correct shape is:
+# explode each host into its dot-suffixes (≤ label-count rows, ~4-6 for
+# real hosts) and equi-join that against the blocklist — broadcastable
+# at real blocklist sizes (UT1 adult ≈ 4M rows ≈ 100 MB) and a plain
+# shuffle join beyond. No regex, no cross product, no driver collect.
+
+
+def host_suffixes(host: Column) -> Column:
+    """['a.b.c', 'b.c', 'c'] for host 'a.b.c' — every dot-suffix."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(parts, i, n - i + 1)),
+    )
+
+
+def mark_blocked_hosts(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Append ``host`` and boolean ``blocked``: true iff any dot-suffix of
+    the url's host appears in ``blocklist[domain_col]``.
+
+    Shape: the suffix explode and blocklist join run over DISTINCT hosts
+    only (10^8 hosts, not 10^12 rows), and the verdict joins back to the
+    data on the host key — the wide document text is never shuffled or
+    compared. The blocked-host table is bounded by the blocklist's match
+    count, so it broadcasts whenever the blocklist itself does."""
+    bl = blocklist.select(F.col(domain_col).alias("_bl_domain")).distinct()
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    with_host = df.withColumn("host", host_of(F.col(url_col)))
+    blocked_hosts = (
+        with_host.select("host")
+        .distinct()
+        .withColumn("_sfx", F.explode(host_suffixes(F.col("host"))))
+        .join(bl, F.col("_sfx") == F.col("_bl_domain"))
+        .select("host")
+        .distinct()
+        .withColumn("_blocked", F.lit(True))
+    )
+    if broadcast_blocklist:
+        blocked_hosts = F.broadcast(blocked_hosts)
+    return (
+        with_host.join(blocked_hosts, "host", "left")
+        .withColumn("blocked", F.coalesce(F.col("_blocked"), F.lit(False)))
+        .drop("_blocked")
+    )
+
+
+def filter_blocklisted(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rows whose host matches no blocklist entry (same columns as df)."""
+    marked = mark_blocked_hosts(df, blocklist, url_col, domain_col)
+    return marked.filter(~F.col("blocked")).drop("blocked", "host")

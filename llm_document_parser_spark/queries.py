@@ -650,6 +650,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "blocklist_filter",
+    r"""
+    WITH bl AS (
+      SELECT DISTINCT source || '.example.com' AS domain
+      FROM documents WHERE length(source) = 4
+      UNION
+      SELECT DISTINCT source || '.example.org'
+      FROM documents WHERE source = 'src12'
+    ), u AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN 'www.' || source || '.example.com'
+          WHEN 1 THEN 'cdn.ads.' || source || '.example.com'
+          ELSE source || '.example.org' END AS host
+      FROM documents
+    )
+    SELECT doc_id, host,
+           EXISTS (SELECT 1 FROM bl
+                   WHERE u.host = bl.domain
+                      OR u.host LIKE '%.' || bl.domain) AS blocked
+    FROM u
+    """,
+)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style host blocklisting with subdomain semantics, cross-engine:
+    urls are built over www./cdn.ads. subdomains of blocklisted and clean
+    registrable domains; the engine's suffix-explode + broadcast equi-join
+    over DISTINCT hosts (operators/urls.py:mark_blocked_hosts) must agree
+    row-for-row with the oracle's literal suffix-LIKE EXISTS — including
+    subdomain hits, same-suffix-different-tld misses ('.org' blocked only
+    for the one exactly-listed domain), and untouched rows."""
+    from .operators.urls import mark_blocked_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    blocklist = (
+        d.filter(F.length("source") == 4)
+        .select(F.concat("source", F.lit(".example.com")).alias("domain"))
+        .union(
+            d.filter(F.col("source") == "src12").select(
+                F.concat("source", F.lit(".example.org"))
+            )
+        )
+        .distinct()
+    )
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 3 == 0, F.concat(F.lit("www."), F.col("source"),
+                                      F.lit(".example.com")))
+        .when(did % 3 == 1, F.concat(F.lit("cdn.ads."), F.col("source"),
+                                     F.lit(".example.com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.org")))
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string")).alias(
+            "url"
+        ),
+    )
+    return mark_blocked_hosts(pages, blocklist).select("doc_id", "host", "blocked")
+
+
 # Deterministic non-Latin blocks appended to the (all-ASCII) documents
 # table on BOTH engines so the script profile has real work to do.
 _CYR = " привет мир"  # привет мир

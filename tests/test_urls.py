@@ -73,3 +73,67 @@ def test_same_page_same_bucket(spark):
         _canon(spark, v)["c"] for v in variants
     }
     assert out == {"https://shop.example.com/item/42"}
+
+
+# ---------------------------------------------------------------------------
+# host blocklist
+# ---------------------------------------------------------------------------
+
+from llm_document_parser_spark.operators.urls import (  # noqa: E402
+    filter_blocklisted,
+    host_suffixes,
+    mark_blocked_hosts,
+)
+
+
+def _bl(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+def test_host_suffixes(spark):
+    df = spark.createDataFrame([("a.b.example.com",)], "h string")
+    (row,) = df.select(host_suffixes(F.col("h")).alias("s")).collect()
+    assert row["s"] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    df1 = spark.createDataFrame([("localhost",)], "h string")
+    (row1,) = df1.select(host_suffixes(F.col("h")).alias("s")).collect()
+    assert row1["s"] == ["localhost"]
+
+
+def test_mark_blocked_subdomain_semantics(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://cdn.eu.tracker.example/x", 1),
+            ("https://tracker.example/y", 2),
+            ("https://nottracker.example/z", 3),  # no dot boundary → clean
+            ("https://clean.site/w", 4),
+            ("no-scheme-at-all", 5),  # host '' → clean
+        ],
+        "url string, k long",
+    )
+    got = {
+        r["k"]: r["blocked"]
+        for r in mark_blocked_hosts(pages, _bl(spark, ["tracker.example"])).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_filter_blocklisted_preserves_columns(spark):
+    pages = spark.createDataFrame(
+        [("https://bad.com/a", "t1"), ("https://ok.com/b", "t2")],
+        "url string, text string",
+    )
+    out = filter_blocklisted(pages, _bl(spark, ["bad.com"]))
+    assert out.columns == ["url", "text"]
+    assert [r["url"] for r in out.collect()] == ["https://ok.com/b"]
+
+
+def test_blocklist_join_is_broadcast(spark):
+    pages = spark.createDataFrame([("https://a.com/x",)], "url string")
+    plan = (
+        mark_blocked_hosts(pages, _bl(spark, ["a.com"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
