@@ -90,6 +90,122 @@ def quality_score(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1) — the full rule set
+# ---------------------------------------------------------------------------
+# quality_score above is a scalar heuristic; production curation gates on
+# the individual Gopher rules with hard thresholds. repetition_stats
+# covers the dup-line/top-bigram family; this block covers the rest:
+# word-count bounds, mean word length band, symbol-to-word ratio
+# (# and ellipsis), bullet-line and ellipsis-line fractions,
+# alphabetic-word fraction, and the required-stopword floor. Everything
+# is native array/HOF expressions — no Python, no shuffle.
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word: float = 3.0,
+    max_mean_word: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule metrics + the combined ``passes`` verdict.
+    Thresholds default to the paper's; callers tune per corpus. Fractions
+    round(6) for cross-engine comparison (same policy as quality_score)."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    nf = n_words.cast("double")
+    mean_word = F.round(
+        F.when(
+            n_words > 0,
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double")
+            / nf,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    hashes = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast("long")
+    ellipses = F.size(
+        F.coalesce(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0), F.array())
+    ).cast("long")
+    symbol_ratio = F.round(
+        F.when(n_words > 0, (hashes + ellipses).cast("double") / nf).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    lines = F.filter(F.split(t, r"\n"), lambda x: x != "")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.round(
+        F.when(
+            F.size(lines) > 0,
+            F.size(
+                F.filter(
+                    lines, lambda x: F.substring(x, 1, 2).isin("- ", "* ", "• ")
+                )
+            ).cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.when(
+            F.size(lines) > 0,
+            F.size(F.filter(lines, lambda x: F.endswith(x, F.lit("..."))))
+            .cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    alpha_frac = F.round(
+        F.when(
+            n_words > 0,
+            F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / nf,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    lowered = F.transform(words, F.lower)
+    stop_hits = None
+    for sw in GOPHER_REQUIRED_STOPWORDS:
+        hit = F.array_contains(lowered, sw).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    stop_hits = stop_hits.cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word)
+        & (F.col("mean_word_len") <= max_mean_word)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("passes", passes)
+
+
+# ---------------------------------------------------------------------------
 # writing-system (Unicode script) profile
 # ---------------------------------------------------------------------------
 # Statistical lang_id above is stopword-based and only speaks

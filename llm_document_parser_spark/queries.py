@@ -651,6 +651,104 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_quality_flags",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN '- ' || substr(text, 1, 40) || chr(10) || '- '
+                      || substr(text, 41, 40) || chr(10) || '- '
+                      || substr(text, 81, 40)
+          WHEN 1 THEN substr(text, 1, 40) || '...' || chr(10)
+                      || substr(text, 41, 40) || '...'
+          WHEN 3 THEN text || ' ## ## ## ## ## ##'
+          ELSE text END AS t
+      FROM documents
+    ), w AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ws,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+      FROM inj
+    ), m AS (
+      SELECT doc_id,
+        len(ws)::BIGINT AS n_words,
+        round(CASE WHEN len(ws) > 0 THEN
+          list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+          ELSE 0 END, 6) AS mean_word_len,
+        round(CASE WHEN len(ws) > 0 THEN
+          (length(t) - length(replace(t, '#', ''))
+           + len(regexp_extract_all(t, '\.\.\.')))::DOUBLE / len(ws)
+          ELSE 0 END, 6) AS symbol_word_ratio,
+        round(CASE WHEN len(ls) > 0 THEN
+          len(list_filter(ls, x -> substr(x, 1, 2) IN ('- ', '* ', '• ')))::DOUBLE
+          / len(ls) ELSE 0 END, 6) AS bullet_line_frac,
+        round(CASE WHEN len(ls) > 0 THEN
+          len(list_filter(ls, x -> ends_with(x, '...')))::DOUBLE / len(ls)
+          ELSE 0 END, 6) AS ellipsis_line_frac,
+        round(CASE WHEN len(ws) > 0 THEN
+          len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / len(ws) ELSE 0 END, 6) AS alpha_word_frac,
+        (list_contains(list_transform(ws, x -> lower(x)), 'the')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'be')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'to')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'of')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'and')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'that')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'have')::BIGINT
+         + list_contains(list_transform(ws, x -> lower(x)), 'with')::BIGINT
+        )::BIGINT AS stopword_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+           stopword_hits,
+           (n_words >= 5 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2) AS passes
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher rule set (Rae et al. 2021 Table A1), cross-engine:
+    documents are deterministically mutated on both sides into the four
+    failure shapes (all-bulleted lines, all-ellipsis lines, plain,
+    symbol-spammed), then every per-rule metric AND the combined verdict
+    must match DuckDB's independent list-expression formulation.
+    min_words lowered to 5 because the synthetic docs run 10-99 words —
+    the production default (50) is the paper's."""
+    from .operators.textstats import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("- "), F.substring("text", 1, 40), nl,
+                F.lit("- "), F.substring("text", 41, 40), nl,
+                F.lit("- "), F.substring("text", 81, 40),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.substring("text", 1, 40), F.lit("..."), nl,
+                F.substring("text", 41, 40), F.lit("..."),
+            ),
+        )
+        .when(did % 4 == 3, F.concat(F.col("text"), F.lit(" ## ## ## ## ## ##")))
+        .otherwise(F.col("text"))
+    )
+    return gopher_quality(d.select("doc_id", t.alias("t")), "doc_id", "t",
+                          min_words=5)
+
+
+@query(
     "blocklist_filter",
     r"""
     WITH bl AS (
