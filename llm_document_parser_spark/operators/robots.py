@@ -1,0 +1,157 @@
+"""robots.txt parsing and URL admission — the crawl-politeness tier.
+
+A crawl-derived corpus must honor robots exclusions; retroactive
+compliance passes over 10^12 fetched pages are a standard curation job
+(drop documents whose url was disallowed for the crawler's agent).
+Nothing here is the reference's concern (it parses uploaded files), but
+it is a required stage for the north_star's Common-Crawl-style input.
+
+robots.txt is a line-oriented state machine (directives bind to the most
+recent contiguous run of ``User-agent`` lines). State machines are the
+classic excuse for per-row Python; this module restates it relationally
+so the whole parse stays in codegen:
+
+  * explode lines with their ordinal (posexplode),
+  * a line STARTS a group iff it is a user-agent line whose predecessor
+    is not (one ``lag`` window per robots file),
+  * the running count of group-starts (one ``sum`` window) labels every
+    line with its group id,
+  * agents × directives of the same (host, group) equi-join into rules.
+
+Verdict semantics follow Google's documented rules: longest-prefix match
+wins; a tie between Allow and Disallow goes to Allow; no matching rule →
+allowed. Implemented as two max-lengths per url (allow_len >= dis_len) —
+no struct-ordering tricks, so the ANSI-SQL oracle states the identical
+formula. Empty-value directives ("Disallow:") restrict nothing and are
+dropped at parse time, per spec.
+
+Scale shape: the parse windows partition by robots host (files are KBs —
+a per-host window is trivially safe); the admission join is host-equi
+(rules tables are ~10 rules × hosts, broadcastable at any realistic host
+count). Wildcards (*, $) inside rule paths are out of spec v1 and left
+as plain prefix characters — documented, matching the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .urls import _REST_RE, host_of
+
+_UA_RE = r"(?i)^user-agent:\s*(\S+)\s*$"
+_DIR_RE = r"(?i)^(allow|disallow):\s*(\S*)\s*$"
+
+
+def parse_robots(df: DataFrame, host_col: str = "host", body_col: str = "body") -> DataFrame:
+    """(host, agent, rule, prefix) rules from robots.txt bodies.
+    ``agent`` is lowercased; ``rule`` in ('allow','disallow'); empty-value
+    directives and directives before any User-agent line are dropped."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("i", "raw"),
+    ).select(
+        "host", "i",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    w = Window.partitionBy("host").orderBy("i")
+    tagged = lines.select(
+        "host", "i", "line",
+        (F.regexp_extract("line", _UA_RE, 1) != "").alias("is_ua"),
+    ).withColumn(
+        "starts_group",
+        F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+    ).withColumn(
+        "group_id",
+        F.sum(F.col("starts_group").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agents = tagged.filter("is_ua").select(
+        "host", "group_id",
+        F.lower(F.regexp_extract("line", _UA_RE, 1)).alias("agent"),
+    )
+    directives = tagged.filter(
+        ~F.col("is_ua") & (F.regexp_extract("line", _DIR_RE, 2) != "")
+    ).select(
+        "host", "group_id",
+        F.lower(F.regexp_extract("line", _DIR_RE, 1)).alias("rule"),
+        F.regexp_extract("line", _DIR_RE, 2).alias("prefix"),
+    )
+    return agents.join(directives, ["host", "group_id"]).select(
+        "host", "agent", "rule", "prefix"
+    ).distinct()
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Append ``host`` and boolean ``allowed`` to ``urls`` under the
+    ``agent`` group of ``rules`` (from ``parse_robots``). Longest prefix
+    wins, Allow wins ties, unmatched urls and rule-less hosts allowed."""
+    r = rules.filter(F.col("agent") == agent.lower()).select(
+        "host", "rule", "prefix"
+    )
+    if broadcast_rules:
+        r = F.broadcast(r)
+    # verdicts are computed over the slim DISTINCT url projection and
+    # joined back — wide document rows never ride through the rule join,
+    # and the join itself is a plain host-equi hash join (the prefix test
+    # lives in the aggregation, not the join condition, so Catalyst never
+    # falls back to a nested-loop plan).
+    slim = (
+        urls.select(F.col(url_col).alias("_u"))
+        .distinct()
+        .withColumn("host", host_of(F.col("_u")))
+        .withColumn(
+            "_path",
+            F.coalesce(
+                F.nullif(F.regexp_extract(F.col("_u"), _REST_RE, 1), F.lit("")),
+                F.lit("/"),
+            ),
+        )
+    )
+    cand = slim.join(r, "host", "left")
+    matched = F.col("prefix").isNotNull() & F.col("_path").startswith(
+        F.col("prefix")
+    )
+    per_url = cand.groupBy("_u", "host").agg(
+        F.coalesce(
+            F.max(F.when(matched & (F.col("rule") == "allow"), F.length("prefix"))),
+            F.lit(-1),
+        ).alias("_allow_len"),
+        F.coalesce(
+            F.max(
+                F.when(matched & (F.col("rule") == "disallow"), F.length("prefix"))
+            ),
+            F.lit(-1),
+        ).alias("_dis_len"),
+    )
+    verdict = per_url.select(
+        "_u", "host", (F.col("_allow_len") >= F.col("_dis_len")).alias("allowed")
+    )
+    return urls.join(
+        verdict, urls[url_col] == verdict["_u"], "left"
+    ).drop("_u")
+
+
+def sitemap_locs(df: DataFrame, host_col: str = "host", xml_col: str = "xml") -> DataFrame:
+    """Explode sitemap XML into one row per <loc> url: (host, loc).
+    Native regexp over the document — tolerant of attribute noise and
+    whitespace inside the tag, per real-world sitemaps."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.coalesce(
+                F.regexp_extract_all(
+                    F.col(xml_col), F.lit(r"(?is)<loc[^>]*>\s*(.*?)\s*</loc"), 1
+                ),
+                F.array(),
+            )
+        ).alias("loc"),
+    )

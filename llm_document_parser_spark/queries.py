@@ -650,6 +650,142 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_UA_SQL = r"(?i)^user-agent:\s*(\S+)\s*$"
+_ROBOTS_DIR_SQL = r"(?i)^(allow|disallow):\s*(\S*)\s*$"
+
+
+@query(
+    "robots_admission",
+    f"""
+    WITH hosts AS (SELECT DISTINCT source FROM documents),
+    bodies AS (
+      SELECT source || '.example.com' AS host,
+        CASE ascii(substr(source, 4, 1)) % 3
+          WHEN 0 THEN '# politeness' || chr(10) || 'User-agent: *' || chr(10)
+                      || 'Disallow: /private' || chr(10)
+                      || 'Allow: /private/ok' || chr(10) || chr(10)
+                      || 'User-agent: evilbot' || chr(10) || 'Disallow: /'
+          WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'User-agent: *'
+                      || chr(10) || 'Disallow:' || chr(10) || 'Disallow: /tmp'
+                      || chr(10) || 'Allow: /tmp/keep/deep'
+          ELSE 'User-agent: specialbot' || chr(10) || 'Disallow: /'
+        END AS body
+      FROM hosts),
+    l AS (
+      SELECT host, i, trim(regexp_replace(ln[i], '#.*$', '')) AS line
+      FROM (SELECT host, string_split(body, chr(10)) AS ln FROM bodies)
+      CROSS JOIN (SELECT UNNEST(range(1, 8)) AS i) r
+      WHERE i <= len(ln)),
+    tagged AS (
+      SELECT host, i, line,
+             regexp_extract(line, '{_ROBOTS_UA_SQL}', 1) <> '' AS is_ua
+      FROM l),
+    starts AS (
+      SELECT host, i, line, is_ua,
+             (is_ua AND NOT coalesce(
+                lag(is_ua) OVER (PARTITION BY host ORDER BY i), false))
+               AS starts_group
+      FROM tagged),
+    grp AS (
+      SELECT host, line, is_ua,
+             sum(CASE WHEN starts_group THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY i) AS group_id
+      FROM starts),
+    agents AS (
+      SELECT host, group_id,
+             lower(regexp_extract(line, '{_ROBOTS_UA_SQL}', 1)) AS agent
+      FROM grp WHERE is_ua),
+    dirs AS (
+      SELECT host, group_id,
+             lower(regexp_extract(line, '{_ROBOTS_DIR_SQL}', 1)) AS rule,
+             regexp_extract(line, '{_ROBOTS_DIR_SQL}', 2) AS prefix
+      FROM grp
+      WHERE NOT is_ua AND regexp_extract(line, '{_ROBOTS_DIR_SQL}', 2) <> ''),
+    rules AS (
+      SELECT DISTINCT a.host, a.agent, d.rule, d.prefix
+      FROM agents a JOIN dirs d ON a.host = d.host AND a.group_id = d.group_id),
+    star AS (SELECT host, rule, prefix FROM rules WHERE agent = '*'),
+    urls AS (
+      SELECT doc_id, source || '.example.com' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN '/private/x' || doc_id
+          WHEN 1 THEN '/private/ok/x'
+          WHEN 2 THEN '/tmp/keep/deepfile'
+          ELSE '/tmp/drop' END AS path
+      FROM documents),
+    agg AS (
+      SELECT u.doc_id, u.host,
+        max(CASE WHEN s.prefix IS NOT NULL AND starts_with(u.path, s.prefix)
+                      AND s.rule = 'allow' THEN length(s.prefix) END) AS al,
+        max(CASE WHEN s.prefix IS NOT NULL AND starts_with(u.path, s.prefix)
+                      AND s.rule = 'disallow' THEN length(s.prefix) END) AS dl
+      FROM urls u LEFT JOIN star s ON u.host = s.host
+      GROUP BY u.doc_id, u.host, u.path)
+    SELECT doc_id, host, coalesce(al, -1) >= coalesce(dl, -1) AS allowed
+    FROM agg
+    """,
+)
+def robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance end-to-end, cross-engine: per-host robots
+    bodies (three shapes: a normal *-group with an Allow override + a
+    separate evilbot group; a multi-agent run with an empty Disallow and
+    a longest-match Allow; a file with NO *-group at all) are built
+    identically on both sides. The engine parses them relationally
+    (posexplode + lag/sum windows, operators/robots.py) and admits urls
+    by longest-prefix/allow-wins-ties; the oracle restates the same state
+    machine with SQL window functions. Group binding, comment stripping,
+    empty-directive dropping, multi-agent runs, and the verdict formula
+    all have to agree row-for-row."""
+    from .operators.robots import parse_robots, robots_allowed
+
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    v = F.ascii(F.substring("source", 4, 1)) % 3
+    body = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("# politeness"), nl, F.lit("User-agent: *"), nl,
+                F.lit("Disallow: /private"), nl, F.lit("Allow: /private/ok"),
+                nl, nl, F.lit("User-agent: evilbot"), nl, F.lit("Disallow: /"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("User-agent: googlebot"), nl, F.lit("User-agent: *"), nl,
+                F.lit("Disallow:"), nl, F.lit("Disallow: /tmp"), nl,
+                F.lit("Allow: /tmp/keep/deep"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("User-agent: specialbot"), nl, F.lit("Disallow: /"))
+        )
+    )
+    robots = (
+        d.select("source").distinct()
+        .select(
+            F.concat("source", F.lit(".example.com")).alias("host"),
+            body.alias("body"),
+        )
+    )
+    rules = parse_robots(robots)
+    did = F.col("doc_id")
+    path = (
+        F.when(did % 4 == 0, F.concat(F.lit("/private/x"), did.cast("string")))
+        .when(did % 4 == 1, F.lit("/private/ok/x"))
+        .when(did % 4 == 2, F.lit("/tmp/keep/deepfile"))
+        .otherwise(F.lit("/tmp/drop"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    return robots_allowed(urls, rules).select("doc_id", "host", "allowed")
+
+
 @query(
     "gopher_quality_flags",
     r"""

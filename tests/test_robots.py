@@ -1,0 +1,133 @@
+"""robots.txt relational parser + admission verdicts: group binding,
+comment/empty-directive handling, longest-match/allow-wins semantics,
+agent selection, sitemap <loc> extraction. Cross-engine parity over the
+corpus construction is the ``robots_admission`` catalog oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+    sitemap_locs,
+)
+
+BODY = """# crawler policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+Disallow: /late-binds-to-star
+User-agent: FancyBot
+User-agent: OtherBot
+Disallow: /fancy
+Disallow:
+Allow:
+
+Disallow: /orphan-stays-with-fancy
+"""
+
+ORPHANED = "Disallow: /before-any-agent\nUser-agent: *\nDisallow: /x"
+
+
+def _rules(spark, body, host="h.example"):
+    df = spark.createDataFrame([(host, body)], "host string, body string")
+    return parse_robots(df)
+
+
+def test_parse_group_binding(spark):
+    got = {
+        (r["agent"], r["rule"], r["prefix"])
+        for r in _rules(spark, BODY).collect()
+    }
+    assert got == {
+        ("*", "disallow", "/private"),
+        ("*", "allow", "/private/ok"),
+        # a directive after a blank line still binds to the open group
+        ("*", "disallow", "/late-binds-to-star"),
+        # multi-agent run: both agents get the group's rules
+        ("fancybot", "disallow", "/fancy"),
+        ("otherbot", "disallow", "/fancy"),
+        ("fancybot", "disallow", "/orphan-stays-with-fancy"),
+        ("otherbot", "disallow", "/orphan-stays-with-fancy"),
+        # empty-value Allow/Disallow dropped
+    }
+
+
+def test_parse_drops_preamble_directives(spark):
+    got = {
+        (r["agent"], r["rule"], r["prefix"])
+        for r in _rules(spark, ORPHANED).collect()
+    }
+    assert got == {("*", "disallow", "/x")}
+
+
+def _verdicts(spark, rules, urls, agent="*"):
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    return {
+        r["url"]: r["allowed"]
+        for r in robots_allowed(u, rules, agent=agent).collect()
+    }
+
+
+def test_admission_semantics(spark):
+    rules = _rules(spark, BODY, host="h.example")
+    got = _verdicts(
+        spark,
+        rules,
+        [
+            "https://h.example/private/secret",  # disallowed
+            "https://h.example/private/ok/fine",  # allow overrides (longer)
+            "https://h.example/public/x",  # no matching rule
+            "https://h.example/",  # bare path '/'
+            "https://other.example/private/x",  # host without rules
+        ],
+    )
+    assert got == {
+        "https://h.example/private/secret": False,
+        "https://h.example/private/ok/fine": True,
+        "https://h.example/public/x": True,
+        "https://h.example/": True,
+        "https://other.example/private/x": True,
+    }
+
+
+def test_allow_wins_equal_length_tie(spark):
+    rules = _rules(spark, "User-agent: *\nDisallow: /a\nAllow: /a")
+    got = _verdicts(spark, rules, ["https://h.example/a/x"])
+    assert got["https://h.example/a/x"] is True
+
+
+def test_agent_specific_group(spark):
+    rules = _rules(spark, BODY)
+    got = _verdicts(spark, rules, ["https://h.example/fancy/x"], agent="FancyBot")
+    assert got["https://h.example/fancy/x"] is False
+    star = _verdicts(spark, rules, ["https://h.example/fancy/x"])
+    assert star["https://h.example/fancy/x"] is True
+
+
+def test_preserves_input_columns(spark):
+    rules = _rules(spark, BODY)
+    u = spark.createDataFrame(
+        [("https://h.example/private/a", "keep-me")], "url string, extra string"
+    )
+    (row,) = robots_allowed(u, rules).collect()
+    assert row["extra"] == "keep-me"
+    assert row["allowed"] is False
+    assert row["host"] == "h.example"
+
+
+def test_sitemap_locs(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset><url><loc> https://a/1 </loc>'
+        "<lastmod>2024-01-01</lastmod></url>"
+        "<url><LOC>https://a/2</LOC></url>"
+        "<url><loc himg='x'>https://a/3</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("h", xml), ("empty", "<urlset/>")],
+                               "host string, xml string")
+    got = [(r["host"], r["loc"]) for r in sitemap_locs(df).collect()]
+    assert sorted(got) == [
+        ("h", "https://a/1"), ("h", "https://a/2"), ("h", "https://a/3")
+    ]
