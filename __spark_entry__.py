@@ -60,6 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # any time with tools/check_queries.py) yield their slots so every newer
 # operator gets a driver-attested CORRECTNESS row.
 _DEMOTED = (
+    "distinct_parts_per_flag",
     "docs_regex_filter",
     "docs_first_after_the",
     "latest_events_per_user",

@@ -650,6 +650,84 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "crawl_frontier",
+    r"""
+    WITH u AS (
+      SELECT doc_id, source, source || '.example.com' AS host,
+        CASE (doc_id // 20) % 5
+          WHEN 0 THEN '/private/s' || doc_id
+          WHEN 1 THEN '/private/ok/k' || doc_id
+          WHEN 2 THEN '/a/' || doc_id
+          WHEN 3 THEN '/b/' || doc_id
+          ELSE '/c/' || doc_id END AS path
+      FROM documents),
+    adm AS (
+      SELECT doc_id, host, 'https://' || host || path AS url
+      FROM u
+      WHERE (NOT starts_with(path, '/private')
+             OR starts_with(path, '/private/ok'))
+        AND length(source) <> 4),
+    r AS (
+      SELECT doc_id, host, url,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY md5(url), url) AS rk
+      FROM adm)
+    SELECT doc_id, host, url FROM r WHERE rk <= 5
+    """,
+)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness-tier capstone: one composed job chaining the full
+    robots.txt parse+admission (operators/robots.py), host blocklisting
+    (operators/urls.py), and the per-host anti-domination cap
+    (operators/sampling.py) — candidate urls in, the next ≤5 fetchable
+    urls per admitted host out. The engine runs the REAL machinery
+    (window-parsed robots rules, suffix-explode blocklist join, md5-order
+    cap window); the oracle states the expected end-to-end semantics in
+    closed form (the robots body and blocklist are fixed shapes), so any
+    drift in ANY composed stage mismatches rows."""
+    from .operators.robots import parse_robots, robots_allowed
+    from .operators.sampling import cap_per_group
+    from .operators.urls import mark_blocked_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    # (doc_id // 20) decorrelates the path shape from the source column
+    # (source is doc_id % 20 in the corpus), so EVERY host sees all five
+    # path shapes and the Allow-override fires on every host.
+    shape = F.floor(did / 20) % 5
+    path = (
+        F.when(shape == 0, F.concat(F.lit("/private/s"), ds))
+        .when(shape == 1, F.concat(F.lit("/private/ok/k"), ds))
+        .when(shape == 2, F.concat(F.lit("/a/"), ds))
+        .when(shape == 3, F.concat(F.lit("/b/"), ds))
+        .otherwise(F.concat(F.lit("/c/"), ds))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    robots = d.select("source").distinct().select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+        ).alias("body"),
+    )
+    blocklist = (
+        d.filter(F.length("source") == 4)
+        .select(F.concat("source", F.lit(".example.com")).alias("domain"))
+        .distinct()
+    )
+    admitted = robots_allowed(urls, parse_robots(robots))
+    admitted = mark_blocked_hosts(admitted, blocklist)
+    fetchable = admitted.filter(F.col("allowed") & ~F.col("blocked"))
+    capped = cap_per_group(fetchable, 5, group_col="host", id_col="url")
+    return capped.select("doc_id", "host", "url")
+
+
 _ROBOTS_UA_SQL = r"(?i)^user-agent:\s*(\S+)\s*$"
 _ROBOTS_DIR_SQL = r"(?i)^(allow|disallow):\s*(\S*)\s*$"
 
