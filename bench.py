@@ -193,6 +193,37 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     per_query["decontaminate_50k"] = round(time.perf_counter() - t0, 3)
 
+    # --- timed: quality/normalization tier at extraction scale ---
+    # gopher: all-native array/HOF metrics, zero Python — measures the
+    # codegen rule set's per-doc cost. unigram LM: train (explode+groupBy)
+    # + broadcast-scored pass — the two-shuffle LM shape. nfc: the one
+    # Arrow stage — measures Python-boundary cost on real text.
+    from llm_document_parser_spark.operators.lm import (
+        score_unigram_logprob,
+        train_unigram_lm,
+    )
+    from llm_document_parser_spark.operators.normalize import nfc_normalize_text
+    from llm_document_parser_spark.operators.textstats import gopher_quality
+
+    t0 = time.perf_counter()
+    gopher_quality(
+        docs50k, id_col="url", text_col="extracted_text", min_words=5
+    ).write.format("noop").mode("overwrite").save()
+    per_query["gopher_quality_50k"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lm50 = train_unigram_lm(docs50k, "extracted_text")
+    score_unigram_logprob(
+        docs50k, lm50, id_col="url", text_col="extracted_text"
+    ).write.format("noop").mode("overwrite").save()
+    per_query["unigram_lm_50k"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    nfc_normalize_text(docs50k, "extracted_text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    per_query["nfc_normalize_50k"] = round(time.perf_counter() - t0, 3)
+
     # --- timed: link graph + PageRank over the same 50k raw pages ---
     # outlinks come from RAW html (boilerplate stripping removes <a> tags),
     # cast(binary as string) — datagen payloads are UTF-8. Host graph is the
