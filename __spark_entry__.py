@@ -79,6 +79,9 @@ _DEMOTED = (
     "union_sources",
     "top_orders",
     "paginated_orders",
+    "pricing_summary",
+    "regional_revenue",
+    "user_activity_rollup",
 )
 
 

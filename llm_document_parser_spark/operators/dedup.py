@@ -573,3 +573,45 @@ def near_dup_clusters(
             F.coalesce("component", F.col("id")).alias("component"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-snapshot dedup: latest capture per url
+# ---------------------------------------------------------------------------
+
+
+def latest_captures(
+    df: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak: Column | None = None,
+) -> DataFrame:
+    """One row per ``id_col``: the capture with the greatest ``ts_col``,
+    plus ``n_captures`` (how many snapshots were collapsed).
+
+    Common Crawl re-captures the same url across dumps; training corpora
+    keep the newest snapshot (CCNet/RefinedWeb convention) BEFORE any
+    content dedup, or identical re-captures inflate exact-dup groups and
+    per-host counts. Captures sharing the exact same timestamp need a
+    caller-supplied ``tiebreak`` column (e.g. ``F.md5("html")``) for a
+    deterministic pick; without one, equal-timestamp rows are chosen
+    arbitrarily (fine when such rows are byte-identical re-captures).
+
+    Scale shape: a single shuffle on the url key (row_number window +
+    count over the same partition — one Exchange, both window functions
+    share it). The url key is the engine's lineage/bucketing key, so over
+    a bucketed pages table this window is shuffle-free.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col)
+    order_cols = [F.col(ts_col).desc()]
+    if tiebreak is not None:
+        order_cols.append(tiebreak)
+    ordered = w.orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(ordered))
+        .withColumn("n_captures", F.count("*").over(w).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

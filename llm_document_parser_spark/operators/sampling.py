@@ -108,3 +108,81 @@ def cap_per_group(
         .filter(F.col("_cap_rn") <= max_docs)
         .drop("_cap_rn")
     )
+
+
+def assign_token_shards(
+    docs: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Assign every document a ``shard_id`` such that consecutive shards
+    (in the deterministic md5-of-id order) each hold ~``shard_tokens``
+    tokens — the training-export layout: a trainer streams shard files of
+    a known token size, and re-running the job on the same corpus must
+    produce byte-identical shard membership.
+
+    A document belongs to the shard its STARTING token offset falls in:
+    ``shard_id = floor((global_cum - own_tokens) / shard_tokens)`` where
+    ``global_cum`` is the running token total up to and including the row
+    in md5(id) order. Adds ``ws_tokens``, ``cum_tokens``, ``shard_id``.
+
+    Scale shape — exact global cumulative sum WITHOUT a single-partition
+    window: the md5 order key's first two hex chars split the corpus into
+    256 buckets whose lexicographic order is a prefix of the full order,
+    so (1) a 256-row aggregate computes per-bucket token totals, (2) a
+    window over those 256 rows turns them into bucket starting offsets
+    (driver-scale work), (3) a per-bucket window (parallel across 256
+    partitions) computes the local running sum, and offset + local sum is
+    exactly the global running sum. Two shuffles (bucket agg + bucket
+    window), both on a uniform md5-derived key — no skew, no serial
+    stage, byte-stable at any scale.
+    """
+    toks = tokens_col if tokens_col is not None else token_count(F.col(text_col))
+    ordk = F.md5(F.col(id_col).cast("string"))
+    if num_buckets not in (16, 256, 4096):
+        raise ValueError("num_buckets must be a power-of-16 prefix: 16/256/4096")
+    prefix_len = {16: 1, 256: 2, 4096: 3}[num_buckets]
+    d = (
+        docs.withColumn("ws_tokens", toks)
+        .withColumn("_ord", ordk)
+        .withColumn("_bkt", F.substring(ordk, 1, prefix_len))
+    )
+    bucket_offsets = (
+        d.groupBy("_bkt")
+        .agg(F.sum("ws_tokens").alias("_bkt_tokens"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bkt_tokens").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_bkt_tokens")
+    )
+    local = Window.partitionBy("_bkt").orderBy("_ord", F.col(id_col).cast("string"))
+    return (
+        d.join(F.broadcast(bucket_offsets), "_bkt")
+        .withColumn(
+            "cum_tokens",
+            (
+                F.col("_offset")
+                + F.sum("ws_tokens").over(
+                    local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("ws_tokens")) / F.lit(shard_tokens)
+            ).cast("long"),
+        )
+        .drop("_ord", "_bkt", "_offset")
+    )

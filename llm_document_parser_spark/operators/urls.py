@@ -168,3 +168,75 @@ def filter_blocklisted(
     """Rows whose host matches no blocklist entry (same columns as df)."""
     marked = mark_blocked_hosts(df, blocklist, url_col, domain_col)
     return marked.filter(~F.col("blocked")).drop("blocked", "host")
+
+
+# ---------------------------------------------------------------------------
+# registrable domain (public-suffix-list longest-match)
+# ---------------------------------------------------------------------------
+# Host-level corpus accounting ("how much of the corpus is one site?",
+# per-site caps, site-level dedup keys) must group by the REGISTRABLE
+# domain, not the raw host: a.blogspot-like host space makes every
+# subdomain look like a distinct site, and grouping by bare TLD merges
+# the whole web. The registrable domain is the public suffix plus one
+# label (PSL algorithm, longest-matching-rule wins). The embedded
+# suffix set below is a deterministic testing subset; production runs
+# pass the full publicsuffix.org list (~9k rules ≈ 200 KB — trivially
+# broadcastable) via ``suffixes``. Wildcard (*.ck) and exception (!)
+# rules are NOT implemented — the full-PSL caller must pre-expand them
+# (the standard flattening), which keeps the engine side a pure
+# longest-suffix equi-join.
+#
+# Scale shape: suffix-explode + broadcast equi-join + one max_by agg,
+# all over DISTINCT hosts (10^8, not 10^12 rows), joined back on the
+# host key — same geometry as mark_blocked_hosts above.
+
+PUBLIC_SUFFIXES_MIN: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "io", "info",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "org.au", "co.jp", "com.br", "co.in",
+    "github.io", "blogspot.com",
+)
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES_MIN,
+    out_col: str = "registrable_domain",
+) -> DataFrame:
+    """Append ``out_col``: the PSL registrable domain of ``host_col``.
+
+    Longest matching suffix wins ('a.github.io' → 'a.github.io' via the
+    'github.io' rule, not 'github.io' via 'com'-style single-label).
+    Unknown TLDs use the PSL default '*' rule (last label is the public
+    suffix → registrable = last two labels). A host that IS exactly a
+    public suffix, or a single unknown label, yields NULL.
+    """
+    spark = df.sparkSession
+    sfx = F.broadcast(
+        spark.createDataFrame(
+            [(s, len(s.split("."))) for s in suffixes], "_sfx string, _sfx_n int"
+        )
+    )
+    host = F.col(host_col)
+    hosts = df.select(host.alias(host_col)).distinct()
+    # longest matching rule per host; unmatched hosts keep _sfx_n = 1
+    # (the PSL default '*' rule) via the left join + coalesce
+    matched = (
+        hosts.withColumn("_cand", F.explode(host_suffixes(host)))
+        .join(sfx, F.col("_cand") == F.col("_sfx"), "left")
+        .groupBy(host_col)
+        .agg(F.coalesce(F.max("_sfx_n"), F.lit(1)).alias("_n"))
+    )
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    reg = F.when(
+        n > F.col("_n"),
+        F.concat_ws(".", F.slice(parts, n - F.col("_n"), F.col("_n") + 1)),
+    )
+    # join-back is a plain equi-join on host: `resolved` holds EVERY
+    # distinct host (unlike mark_blocked_hosts' bounded match set), so
+    # it must not be forced broadcast — AQE picks broadcast when the
+    # host count is actually small.
+    resolved = matched.select(host_col, reg.alias(out_col))
+    return df.join(resolved, host_col, "left")

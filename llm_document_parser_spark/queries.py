@@ -3194,3 +3194,169 @@ def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("p.html")).alias("body_md5"),
         F.col("p.content_type").alias("content_type"),
     )
+
+
+# ===========================================================================
+# registrable domain (PSL longest-match) / crawl-snapshot dedup / shards
+# ===========================================================================
+
+from .operators.urls import PUBLIC_SUFFIXES_MIN as _PSL  # noqa: E402
+
+_PSL_VALUES = ", ".join(
+    f"('{s}', {len(s.split('.'))})" for s in _PSL
+)
+
+ORACLES["registrable_domains"] = f"""
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'www.' || source || '.example.com'
+          WHEN 1 THEN source || '.github.io'
+          WHEN 2 THEN 'a.b.' || source || '.github.io'
+          WHEN 3 THEN source || '.co.uk'
+          WHEN 4 THEN 'blog.' || source || '.co.uk'
+          WHEN 5 THEN source || '.internal'
+          WHEN 6 THEN 'github.io'
+          ELSE 'localhost' END AS host
+      FROM documents
+    ), sfx(s, n) AS (
+      VALUES {_PSL_VALUES}
+    ), m AS (
+      SELECT h.doc_id, h.host, coalesce(max(sfx.n), 1) AS sn
+      FROM hosts h LEFT JOIN sfx
+        ON (h.host = sfx.s OR h.host LIKE '%.' || sfx.s)
+      GROUP BY h.doc_id, h.host
+    )
+    SELECT doc_id, host,
+      CASE WHEN len(string_split(host, '.')) > sn
+           THEN array_to_string(
+                  list_slice(string_split(host, '.'),
+                             len(string_split(host, '.')) - sn,
+                             len(string_split(host, '.'))), '.')
+      END AS registrable_domain
+    FROM m
+"""
+
+
+@query("registrable_domains")
+def registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL registrable-domain extraction, cross-engine: hosts are built
+    over every interesting shape (known 1- and 2-label suffixes, the
+    github.io private-suffix rule beating 'io', multi-level subdomains,
+    unknown TLDs hitting the PSL default '*' rule, a host that IS a
+    public suffix, and a single bare label — the last two must yield
+    NULL). The engine's suffix-explode + broadcast join + longest-rule
+    max (operators/urls.py:with_registrable_domain) must agree
+    row-for-row with the oracle's literal suffix-LIKE longest match over
+    the same embedded suffix VALUES."""
+    from .operators.urls import with_registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.col("source")
+    host = (
+        F.when(did % 8 == 0, F.concat(F.lit("www."), src, F.lit(".example.com")))
+        .when(did % 8 == 1, F.concat(src, F.lit(".github.io")))
+        .when(did % 8 == 2, F.concat(F.lit("a.b."), src, F.lit(".github.io")))
+        .when(did % 8 == 3, F.concat(src, F.lit(".co.uk")))
+        .when(did % 8 == 4, F.concat(F.lit("blog."), src, F.lit(".co.uk")))
+        .when(did % 8 == 5, F.concat(src, F.lit(".internal")))
+        .when(did % 8 == 6, F.lit("github.io"))
+        .otherwise(F.lit("localhost"))
+    )
+    return with_registrable_domain(
+        d.select("doc_id", host.alias("host"))
+    ).select("doc_id", "host", "registrable_domain")
+
+
+@query(
+    "latest_capture_per_url",
+    """
+    WITH caps AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + INTERVAL (doc_id % 5) DAY + INTERVAL (k.k) HOUR AS warc_ts
+      FROM documents, (SELECT unnest(generate_series(0, 2)) AS k) k
+      WHERE k.k <= doc_id % 3
+    ), ranked AS (
+      SELECT url, warc_ts,
+             row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn,
+             count(*) OVER (PARTITION BY url) AS n_captures
+      FROM caps
+    )
+    SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS kept_ts,
+           CAST(n_captures AS BIGINT) AS n_captures
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_capture_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot dedup (keep the newest capture per url, CCNet /
+    RefinedWeb convention): each document becomes 1-3 captures at
+    distinct hour offsets; dedup.latest_captures' single-window plan must
+    keep exactly the max-timestamp row and report the collapsed capture
+    count, row-for-row vs the oracle's window."""
+    from .operators.dedup import latest_captures
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    caps = (
+        d.select(
+            F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
+            (did % 3).alias("_max_k"),
+            (did % 5).alias("_day"),
+        )
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.col("_max_k"))))
+        .select(
+            "url",
+            F.expr(
+                "timestampadd(HOUR, _k, timestampadd(DAY, _day, "
+                "timestamp '2024-01-01 00:00:00'))"
+            ).alias("warc_ts"),
+        )
+    )
+    kept = latest_captures(caps, id_col="url", ts_col="warc_ts")
+    return kept.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("kept_ts"),
+        "n_captures",
+    )
+
+
+@query(
+    "token_shard_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ws_tokens,
+             sum(ws_tokens) OVER (ORDER BY ord, CAST(doc_id AS VARCHAR)
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT CAST(floor((cum - ws_tokens) / 5000.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS shard_ws_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def token_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export sharding: every document assigned to a
+    ~5000-token shard in deterministic md5(id) order. The engine computes
+    the EXACT global running sum with NO single-partition window
+    (256-bucket two-pass, sampling.assign_token_shards); the oracle
+    computes the same running sum as one global SQL window — per-shard
+    doc and token counts must match exactly, proving offset + local sum
+    == global sum."""
+    from .operators.sampling import assign_token_shards
+
+    d = _t(spark, sf_dir, "documents")
+    sharded = assign_token_shards(
+        d, shard_tokens=5000, id_col="doc_id", text_col="text"
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("shard_ws_tokens"),
+    )

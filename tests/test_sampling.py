@@ -104,3 +104,65 @@ def test_custom_tokens_col(spark):
     for r in out:
         per_group[r["source"]] = per_group.get(r["source"], 0) + 1
     assert all(n == 3 for n in per_group.values())  # 2 full + 1 straddler
+
+
+# ---------------------------------------------------------------------------
+# assign_token_shards: exact global cumsum without a global window
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from llm_document_parser_spark.operators.sampling import (  # noqa: E402
+    assign_token_shards,
+)
+
+
+def test_token_shards_match_global_window(spark):
+    """The 256-bucket two-pass cumulative sum must equal the
+    single-partition global window exactly, row for row."""
+    docs = _docs(spark, 80)
+    out = assign_token_shards(docs, shard_tokens=40).select(
+        "doc_id", "ws_tokens", "cum_tokens", "shard_id"
+    )
+    ref_w = Window.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id").cast("string")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from llm_document_parser_spark.operators.textstats import token_count
+
+    ref = (
+        docs.withColumn("ws_tokens", token_count(F.col("text")))
+        .withColumn("cum_ref", F.sum("ws_tokens").over(ref_w).cast("long"))
+        .select("doc_id", "cum_ref")
+    )
+    joined = out.join(ref, "doc_id").collect()
+    assert len(joined) == 80
+    for r in joined:
+        assert r["cum_tokens"] == r["cum_ref"], r
+        assert r["shard_id"] == (r["cum_tokens"] - r["ws_tokens"]) // 40
+
+
+def test_token_shards_contiguous_and_sized(spark):
+    """Shard ids start at 0, are contiguous, and every shard except the
+    last spans its full token budget (a shard boundary can only advance
+    when the budget is crossed)."""
+    out = assign_token_shards(_docs(spark, 80), shard_tokens=40)
+    shards = (
+        out.groupBy("shard_id")
+        .agg(F.sum("ws_tokens").alias("tok"), F.max("cum_tokens").alias("hi"))
+        .orderBy("shard_id")
+        .collect()
+    )
+    ids = [r["shard_id"] for r in shards]
+    assert ids == list(range(len(ids)))
+    # every non-final shard's max cumulative offset reaches its budget line
+    for r in shards[:-1]:
+        assert r["hi"] >= 40 * (r["shard_id"] + 1)
+
+
+def test_token_shards_partitioning_invariant(spark):
+    """Same assignment regardless of input partitioning (determinism)."""
+    d1 = assign_token_shards(_docs(spark, 60).repartition(1), shard_tokens=35)
+    d7 = assign_token_shards(_docs(spark, 60).repartition(7), shard_tokens=35)
+    rows1 = {r["doc_id"]: r["shard_id"] for r in d1.collect()}
+    rows7 = {r["doc_id"]: r["shard_id"] for r in d7.collect()}
+    assert rows1 == rows7

@@ -137,3 +137,42 @@ def test_blocklist_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# registrable domain (PSL longest-match)
+# ---------------------------------------------------------------------------
+
+from llm_document_parser_spark.operators.urls import (  # noqa: E402
+    with_registrable_domain,
+)
+
+
+def test_registrable_domain_cases(spark):
+    cases = [
+        ("www.site.example.com", "example.com"),      # 1-label suffix
+        ("site.co.uk", "site.co.uk"),                 # 2-label suffix exact+1
+        ("blog.site.co.uk", "site.co.uk"),            # subdomain collapses
+        ("user.github.io", "user.github.io"),         # private suffix wins over 'io'
+        ("a.b.user.github.io", "user.github.io"),     # deep subdomain
+        ("github.io", None),                          # host IS a public suffix
+        ("svc.cluster.internal", "cluster.internal"), # unknown TLD: '*' rule
+        ("localhost", None),                          # single unknown label
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["registrable_domain"]
+        for r in with_registrable_domain(df).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_registrable_domain_preserves_rows_and_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x.example.com"), (2, "x.example.com"), (3, "nowhere")],
+        "id long, host string",
+    )
+    out = with_registrable_domain(df)
+    assert out.count() == 3  # distinct-host join back never drops/dups rows
+    assert set(out.columns) == {"id", "host", "registrable_domain"}
