@@ -82,6 +82,9 @@ _DEMOTED = (
     "pricing_summary",
     "regional_revenue",
     "user_activity_rollup",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_quality",
 )
 
 

@@ -615,3 +615,89 @@ def latest_captures(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# frequency-based boilerplate line removal (CCNet/DataTrove-style)
+# ---------------------------------------------------------------------------
+
+
+def strip_frequent_lines(
+    df: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Remove lines that recur across >= ``min_docs`` DISTINCT documents
+    (within ``scope_col`` when given — per-host is the crawl convention:
+    nav bars, cookie banners, and footers repeat within a site, not
+    across the web). Unlike ``dedup_paragraphs`` (which keeps the FIRST
+    occurrence), a boilerplate line above the threshold is removed from
+    EVERY document — chrome is noise wherever it appears.
+
+    Returns ``(id, clean_text, n_lines, n_removed)`` with surviving
+    lines rejoined in original order.
+
+    Scale shape: one posexplode -> distinct (scope, digest, id) ->
+    count per (scope, digest) -> join verdicts back on the digest key ->
+    one groupBy(id) reassembly. All equi-joins on uniform hash keys; the
+    document text itself is never shuffled (only digests and line
+    payloads move). A hot digest (a line in 10^7 docs) is ONE group row
+    after the count, so no skew salting is needed.
+    """
+    scope = F.col(scope_col) if scope_col is not None else F.lit("")
+    base = df.select(
+        F.col(id_col).alias("_lid"),
+        scope.alias("_scope"),
+        F.col(text_col).alias("_text"),
+    )
+    lines = (
+        base.select(
+            "_lid",
+            "_scope",
+            F.posexplode(F.split("_text", "\n")).alias("idx", "raw"),
+        )
+        .withColumn("line", F.trim("raw"))
+        .filter(F.col("line") != "")
+        .withColumn("_dig", F.md5("line"))
+    )
+    freq = (
+        lines.select("_scope", "_dig", "_lid")
+        .distinct()
+        .groupBy("_scope", "_dig")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_scope", "_dig", F.lit(True).alias("_boiler"))
+    )
+    marked = lines.join(freq, ["_scope", "_dig"], "left")
+    kept = marked.filter(F.col("_boiler").isNull())
+    stats = marked.groupBy("_lid").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).cast("long").alias(
+            "n_removed"
+        ),
+    )
+    reassembled = kept.groupBy("_lid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    return (
+        base.select(F.col("_lid"))
+        .distinct()
+        .join(reassembled, "_lid", "left")
+        .join(stats, "_lid", "left")
+        .select(
+            F.col("_lid").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

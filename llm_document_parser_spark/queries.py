@@ -3360,3 +3360,239 @@ def token_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").cast("long").alias("shard_ws_tokens"),
     )
+
+
+@query(
+    "c4_clean_docs",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+        substr(text, 1, 80) || '.'
+        || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'This extra sentence stays here.' ELSE '' END
+        || CASE doc_id % 4
+             WHEN 1 THEN chr(10) || 'Enable javascript to view this page.'
+             WHEN 2 THEN chr(10) || 'Short line'
+             WHEN 3 THEN chr(10) || 'click here'
+             ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN chr(10) || 'But lorem ipsum dolor sit amet.' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'function() { return 1; } done.' ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN chr(10) || 'casino nights draw large crowds.' ELSE '' END
+          AS t
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+      FROM built
+    ), kept AS (
+      SELECT doc_id, t, ls,
+        list_filter(ls, x ->
+          (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+           OR ends_with(trim(x), '?') OR ends_with(trim(x), chr(34)))
+          AND len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 3
+          AND NOT contains(lower(x), 'javascript')) AS ks
+      FROM lines
+    ), final AS (
+      SELECT doc_id,
+        array_to_string(ks, chr(10)) AS clean_text,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(ks) AS BIGINT) AS n_kept,
+        contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+        contains(t, '{') AS has_brace,
+        list_has_any(
+          list_filter(string_split_regex(lower(t), '\s+'), y -> y <> ''),
+          ['viagra', 'casino', 'bet365']) AS has_blocked_word,
+        CAST(len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]'))
+             AS BIGINT) AS n_sentences
+      FROM kept
+    )
+    SELECT doc_id, md5(clean_text) AS clean_md5, n_lines, n_kept,
+           has_lorem_ipsum, has_brace, has_blocked_word, n_sentences,
+           (NOT has_lorem_ipsum AND NOT has_brace AND NOT has_blocked_word
+            AND n_sentences >= 2) AS passes
+    FROM final
+    """,
+)
+def c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rule set (Raffel et al. 2020), cross-engine: every rule is
+    exercised — terminal-punctuation line drops, short-line drops,
+    javascript-line drops, a kept second sentence, lorem-ipsum / brace /
+    blocked-word page vetoes, and the post-filter sentence minimum
+    (min_sentences=2 so both verdict polarities occur). The engine's
+    native HOF algebra (operators/c4.py) must match the oracle's DuckDB
+    list-lambda restatement value-for-value, md5 of the REWRITTEN text
+    included."""
+    from .operators.c4 import c4_clean
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t2 = F.concat(
+        F.substring("text", 1, 80), F.lit("."),
+        F.when(did % 5 == 0, F.concat(nl, F.lit("This extra sentence stays here.")))
+         .otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.concat(nl, F.lit("Enable javascript to view this page.")))
+         .when(did % 4 == 2, F.concat(nl, F.lit("Short line")))
+         .when(did % 4 == 3, F.concat(nl, F.lit("click here")))
+         .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(nl, F.lit("But lorem ipsum dolor sit amet.")))
+         .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(nl, F.lit("function() { return 1; } done.")))
+         .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(nl, F.lit("casino nights draw large crowds.")))
+         .otherwise(F.lit("")),
+    )
+    cleaned = c4_clean(
+        d.select("doc_id", t2.alias("text")), min_sentences=2
+    )
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines", "n_kept", "has_lorem_ipsum", "has_brace",
+        "has_blocked_word", "n_sentences", "passes",
+    )
+
+
+@query(
+    "domain_token_share",
+    """
+    WITH hosts AS (
+      SELECT doc_id, text, source,
+        CASE doc_id % 4
+          WHEN 0 THEN 'www.' || source || '.example.com'
+          WHEN 1 THEN source || '.github.io'
+          WHEN 2 THEN 'blog.' || source || '.co.uk'
+          ELSE 'cdn.' || source || '.example.com' END AS host
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, host,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+        CASE doc_id % 4
+          WHEN 1 THEN source || '.github.io'
+          WHEN 2 THEN source || '.co.uk'
+          ELSE 'example.com' END AS dom
+      FROM hosts
+    ), agg AS (
+      SELECT dom AS registrable_domain,
+             count(*) AS n_docs,
+             CAST(sum(ws_tokens) AS BIGINT) AS tokens
+      FROM toks GROUP BY 1
+    )
+    SELECT registrable_domain, n_docs, tokens,
+           round(tokens / CAST(sum(tokens) OVER () AS DOUBLE), 6) AS token_share
+    FROM agg
+    """,
+)
+def domain_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix accounting at the SITE level — the question every
+    training-data report answers ('how much of the corpus is one
+    domain?'). Composes with_registrable_domain (PSL longest-match) with
+    whitespace token counts: per registrable domain, doc count, token
+    count, and share of the corpus. The oracle derives the same domains
+    arithmetically (the host shapes make the PSL answer closed-form), so
+    a grouping-key bug in the PSL path shows up as a share mismatch."""
+    from .operators.textstats import token_count
+    from .operators.urls import with_registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.col("source")
+    host = (
+        F.when(did % 4 == 0, F.concat(F.lit("www."), src, F.lit(".example.com")))
+        .when(did % 4 == 1, F.concat(src, F.lit(".github.io")))
+        .when(did % 4 == 2, F.concat(F.lit("blog."), src, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("cdn."), src, F.lit(".example.com")))
+    )
+    marked = with_registrable_domain(
+        d.select("doc_id", host.alias("host"), token_count(F.col("text")).alias("ws_tokens"))
+    )
+    agg = marked.groupBy("registrable_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("tokens"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "registrable_domain", "n_docs", "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.sum("tokens").over(total), 6
+        ).alias("token_share"),
+    )
+
+
+@query(
+    "boilerplate_line_strip",
+    r"""
+    WITH built AS (
+      SELECT doc_id, source,
+        text
+        || chr(10) || 'subscribe to our newsletter today'
+        || CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'visit our site now' ELSE '' END
+        || CASE WHEN doc_id % 50 = 0
+                THEN chr(10) || 'rare footer line here' ELSE '' END AS t
+      FROM documents
+    ),
+    lists AS (
+      SELECT doc_id, source, string_split(t, chr(10)) AS l FROM built
+    ),
+    lines AS (
+      SELECT doc_id, source, i, trim(l[i]) AS line
+      FROM lists, unnest(range(1, len(l) + 1)) AS u(i)
+      WHERE trim(l[i]) <> ''
+    ),
+    freq AS (
+      SELECT source, line
+      FROM (SELECT source, line, count(DISTINCT doc_id) AS d
+            FROM lines GROUP BY source, line)
+      WHERE d >= 5
+    ),
+    marked AS (
+      SELECT l.doc_id, l.i, l.line, (f.line IS NOT NULL) AS boiler
+      FROM lines l LEFT JOIN freq f
+        ON l.source = f.source AND l.line = f.line
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY i)
+                        FILTER (WHERE NOT boiler), '')) AS clean_md5,
+           count(*)::BIGINT AS n_lines,
+           count(*) FILTER (WHERE boiler)::BIGINT AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def boilerplate_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host frequent-line boilerplate removal (CCNet/DataTrove
+    convention), cross-engine: every document in a source ('host' scope)
+    gets a newsletter line (frequency = group size >= 5 -> removed
+    everywhere), half get a second chrome line (also above threshold),
+    2% get a rare footer (below threshold -> kept), and the original
+    text is a unique line (kept). dedup.strip_frequent_lines' explode ->
+    distinct-doc count -> join-back -> reassembly must match the
+    oracle's window restatement value-for-value, md5 of the rewritten
+    text included."""
+    from .operators.dedup import strip_frequent_lines
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    t2 = F.concat(
+        F.col("text"),
+        nl, F.lit("subscribe to our newsletter today"),
+        F.when(did % 2 == 0, F.concat(nl, F.lit("visit our site now")))
+         .otherwise(F.lit("")),
+        F.when(did % 50 == 0, F.concat(nl, F.lit("rare footer line here")))
+         .otherwise(F.lit("")),
+    )
+    out = strip_frequent_lines(
+        d.select("doc_id", "source", t2.alias("text")),
+        min_docs=5,
+        scope_col="source",
+    )
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines",
+        "n_removed",
+    )
