@@ -58,13 +58,38 @@ spark.stop()
 """
 
 
-def run_once(cores: int, pages_path: str, n_docs: int) -> float:
+def run_once(
+    cores: int, pages_path: str, n_docs: int, timeout_s: float | None = None
+) -> float:
+    """One fresh-JVM leg. ``timeout_s`` guards the known daemon-fork
+    wedge (a pyspark worker dies, its daemon keeps the socket fd, the
+    JVM blocks on read forever — observed live 2026-08-17, round 4):
+    a wedged leg raises TimeoutExpired instead of hanging the pair. The
+    leg's time is also appended to .data/scaling_legs.jsonl IMMEDIATELY,
+    so a later failure never loses an earlier leg's measurement."""
     script = _CHILD.format(repo=REPO, cores=cores, pages_path=pages_path, n_docs=n_docs)
     out = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, check=True
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=timeout_s,
     )
     last = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(last)["secs"]
+    secs = json.loads(last)["secs"]
+    with open(os.path.join(REPO, ".data", "scaling_legs.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": datetime.datetime.now().isoformat(timespec="seconds"),
+                    "cores": cores,
+                    "n_docs": n_docs,
+                    "secs": round(secs, 2),
+                }
+            )
+            + "\n"
+        )
+    return secs
 
 
 def _burn(n: int) -> float:
@@ -101,13 +126,17 @@ def main() -> None:
         subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
 
     slowdown = host_contention_probe(4 * n)
+    # per-leg ceiling: generous 6x the expected leg (measured worst ~35
+    # docs/s/core floor on a degraded host) so only a genuine wedge trips
+    timeout_s = max(600.0, 6 * n_docs / (35.0 * n))
     times_n, times_4n = [], []
     for t in range(trials):
-        times_n.append(run_once(n, pages_path, n_docs))
-        times_4n.append(run_once(4 * n, pages_path, n_docs))
+        times_n.append(run_once(n, pages_path, n_docs, timeout_s))
+        times_4n.append(run_once(4 * n, pages_path, n_docs, timeout_s))
         print(
             json.dumps({"trial": t, "secs_N": round(times_n[-1], 2),
-                        "secs_4N": round(times_4n[-1], 2)})
+                        "secs_4N": round(times_4n[-1], 2)}),
+            flush=True,
         )
     # min = capability under one-sided co-tenant interference (noise only
     # ever ADDS time); the per-trial log above preserves the spread
