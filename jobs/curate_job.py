@@ -65,6 +65,7 @@ def curate(
     benchmark=None,
     decon_n: int = 13,
     decon_min_hits: int = 1,
+    c4_min_sentences: int | None = None,
 ):
     """(kept DataFrame, verdict-per-doc DataFrame) for the cascade above.
 
@@ -72,7 +73,14 @@ def curate(
     adds the decontamination gate between near-dup and language: any doc
     sharing ≥ ``decon_min_hits`` distinct ``decon_n``-grams with a
     benchmark item gets verdict ``contaminated`` (broadcast n-gram join —
-    see operators/decontaminate.py)."""
+    see operators/decontaminate.py).
+
+    ``c4_min_sentences`` (optional) adds the C4 page-veto gate
+    (operators/c4.py: lorem-ipsum / curly-brace / blocked-word / post-
+    line-filter sentence minimum) as the LAST gate — verdict ``c4``.
+    Page vetoes only: C4's line REWRITES change document bytes, which
+    phase 2's semi-join re-read cannot represent; run the rewrite as its
+    own corpus transform when wanted."""
     docs = results.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0)
     )
@@ -103,18 +111,31 @@ def curate(
         )
     else:
         scored = scored.withColumn("contaminated", F.lit(False))
+    if c4_min_sentences is not None:
+        from llm_document_parser_spark.operators.c4 import c4_clean
+
+        c4 = c4_clean(
+            docs, id_col=id_col, text_col=text_col,
+            min_sentences=c4_min_sentences,
+        ).select(id_col, F.col("passes").alias("c4_pass"))
+        scored = scored.join(c4, id_col, "left").withColumn(
+            "c4_pass", F.coalesce("c4_pass", F.lit(False))
+        )
+    else:
+        scored = scored.withColumn("c4_pass", F.lit(True))
     verdict = (
         F.when(F.col("component") != F.col(id_col), F.lit("near_dup"))
         .when(F.col("contaminated"), F.lit("contaminated"))
         .when(F.col("lang_pred") != lang, F.lit("lang"))
         .when(F.col("quality") < min_quality, F.lit("quality"))
         .when(F.col("dup_unit_frac") > max_dup_frac, F.lit("repetition"))
+        .when(~F.col("c4_pass"), F.lit("c4"))
         .otherwise(F.lit("kept"))
     )
     labeled = scored.withColumn("verdict", verdict)
     kept = labeled.filter(F.col("verdict") == "kept").drop(
         "lang_pred", "quality", "component", "dup_unit_frac", "contaminated",
-        "verdict",
+        "c4_pass", "verdict",
     )
     return kept, labeled
 
@@ -233,6 +254,9 @@ def main(argv: list[str] | None = None) -> int:
                          "the decontamination gate")
     ap.add_argument("--decon-n", type=int, default=13,
                     help="decontamination n-gram width")
+    ap.add_argument("--c4-min-sentences", type=int, default=None,
+                    help="enable the C4 page-veto gate with this post-"
+                         "line-filter sentence minimum (verdict 'c4')")
     ap.add_argument("--budget-tokens", type=int, default=None,
                     help="deterministic per-group token budget for the kept corpus")
     ap.add_argument("--budget-group", default=None,
@@ -250,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         threshold=args.threshold, lang=args.lang,
         min_quality=args.min_quality, max_dup_frac=args.max_dup_frac,
         benchmark=benchmark, decon_n=args.decon_n,
+        c4_min_sentences=args.c4_min_sentences,
         budget_tokens=args.budget_tokens, budget_group=args.budget_group,
     )
     print(json.dumps(report))

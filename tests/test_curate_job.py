@@ -147,3 +147,32 @@ def test_curation_resume_after_kill(spark, tmp_path):
     assert report["kept_rows"] == len(want)
     assert report["n_input"] == 40
     assert report["funnel"].get("kept") == len(want)
+
+
+def test_curate_c4_gate(spark):
+    base = (
+        "the quick brown fox jumps over one lazy dog today. it then runs "
+        "through the green fields quickly. at dusk the fox rests by the "
+        "river bend quietly."
+    )
+    rows = [
+        ("u1", base),                                  # clean -> kept
+        ("u2", base + "\nlorem ipsum dolor sit amet."),  # C4 page veto
+        ("u3", base + "\nfunction() { return 1; } done."),  # brace veto
+        # stopword-rich (passes the earlier lang gate) but no terminal
+        # punctuation anywhere -> 0 sentences after line filtering -> veto
+        ("u4", "the fox and the dog have that to be with the cat of the barn"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, extracted_text string")
+    kept, labeled = curate(
+        docs, min_quality=0.0, threshold=0.99, c4_min_sentences=2
+    )
+    verdicts = {r["url"]: r["verdict"] for r in labeled.collect()}
+    assert verdicts["u1"] == "kept"
+    assert verdicts["u2"] == "c4"
+    assert verdicts["u3"] == "c4"
+    assert verdicts["u4"] == "c4"
+    # gate off by default: same corpus passes without the flag
+    _, labeled_off = curate(docs, min_quality=0.0, threshold=0.99)
+    off = {r["url"]: r["verdict"] for r in labeled_off.collect()}
+    assert off["u2"] == "kept" and off["u4"] == "kept"
