@@ -57,24 +57,41 @@ def contamination_report(
     n: int = 13,
     min_hits: int = 1,
     broadcast_bench: bool = True,
+    join_on_hash: bool = False,
 ) -> DataFrame:
     """(doc id, overlap_ngrams, n_benchmarks) for every document sharing
     ≥ ``min_hits`` distinct n-grams with the benchmark. Clean documents
     are absent (the common case at 10^12 rows — emitting them would be a
     full-corpus write for a near-empty signal); callers needing a flag
-    column left-join this back on the id."""
+    column left-join this back on the id.
+
+    ``join_on_hash`` joins on ``xxhash64(ngram)`` longs instead of the
+    ~100-byte gram strings. MEASURED at the 50k-doc / 500-item bench
+    leg: NO win — interleaved trials gave string 6.2-8.5 s vs hash
+    6.9-11.4 s (the gram string must be built either way, so hashing is
+    pure added compute, and a 500-item broadcast is small regardless) —
+    hence default False. The knob exists for 10^5-10^6-item benchmarks,
+    where shrinking the broadcast table ~10x is what keeps it
+    broadcastable; collision odds (~corpus-grams×bench-grams / 2^64)
+    are immaterial against the filter's own heuristic semantics."""
     bench = benchmark_ngrams(benchmark, bench_id_col, bench_text_col, n)
+    key = "gkey" if join_on_hash else "ngram"
+    if join_on_hash:
+        bench = bench.select(F.xxhash64("ngram").alias("gkey"), "bench_id")
     if broadcast_bench:
         bench = F.broadcast(bench)
-    doc_ngrams = docs.select(
-        F.col(id_col),
-        F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram"),
-    )
+    gram = F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram")
+    if join_on_hash:
+        doc_ngrams = docs.select(F.col(id_col), gram).select(
+            id_col, F.xxhash64("ngram").alias("gkey")
+        )
+    else:
+        doc_ngrams = docs.select(F.col(id_col), gram)
     return (
-        doc_ngrams.join(bench, "ngram")
+        doc_ngrams.join(bench, key)
         .groupBy(id_col)
         .agg(
-            F.count_distinct("ngram").cast("long").alias("overlap_ngrams"),
+            F.count_distinct(key).cast("long").alias("overlap_ngrams"),
             F.count_distinct("bench_id").cast("long").alias("n_benchmarks"),
         )
         .filter(F.col("overlap_ngrams") >= min_hits)
