@@ -85,6 +85,7 @@ _DEMOTED = (
     "doc_fingerprint",
     "doc_token_counts",
     "doc_quality",
+    "doc_lang_id",
 )
 
 

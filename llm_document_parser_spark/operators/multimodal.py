@@ -282,3 +282,143 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).otherwise(F.array().cast("array<long>"))
         ).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image near-dup: dHash + banded Hamming matching
+# ---------------------------------------------------------------------------
+# The image analog of the text MinHash story: a 64-bit difference hash
+# per image (robust to re-encode/resize/brightness), then candidate
+# pairs via 16-bit band equi-joins — by pigeonhole, any pair within
+# Hamming distance <= 3 shares at least one of the 4 bands, so the
+# banded join finds every such pair with NO cross product — and a
+# native bit_count(xor) verification. Same seam discipline as decode:
+# real Pillow grayscale pixels when installed, a deterministic
+# byte-derived pixel grid otherwise (the BIT RULE is shared either way).
+
+
+def _dhash_bits(pixels: list[int]) -> int:
+    """64-bit dHash from a row-major 9x8 grayscale grid: bit (y,x) is set
+    iff pixel[y][x+1] > pixel[y][x] (horizontal gradient)."""
+    v = 0
+    for y in range(8):
+        row = pixels[y * 9 : (y + 1) * 9]
+        for x in range(8):
+            v = (v << 1) | (1 if row[x + 1] > row[x] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement long
+
+
+def _dhash_real(payload: bytes) -> int:
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L").resize((9, 8))
+        return _dhash_bits(list(gray.getdata()))
+
+
+def _dhash_fake(payload: bytes) -> int:
+    """Deterministic stand-in grid: payload bytes cycled to 72 pseudo-
+    pixels — a pure function of the payload through the SAME bit rule."""
+    if not payload:
+        return 0
+    grid = [payload[i % len(payload)] for i in range(72)]
+    return _dhash_bits(grid)
+
+
+def _payload_to_dhash(payload) -> int | None:
+    if payload is None:
+        return None
+    fn = _dhash_real if HAS_PIL else _dhash_fake
+    try:
+        return fn(bytes(payload))
+    except Exception:
+        return None
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(url, dhash) for image rows — one mapInPandas Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "dhash": pd.array(
+                        [_payload_to_dhash(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "url",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= ``max_hamming``.
+
+    Banded exact matching: the 64-bit hash splits into 4 16-bit bands;
+    a pair within Hamming distance d < 4 differs in at most d bands, so
+    it MATCHES on >= 4-d >= 1 band — the band equi-join is a complete
+    candidate generator for ``max_hamming`` <= 3 (raise bands for looser
+    thresholds). Verification is one native bit_count(xor). Scale shape:
+    explode x4 -> shuffle on (band, key) -> bucket self-join -> distinct,
+    identical geometry to the MinHash LSH path; no Python, no cross
+    product."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-band matching is only complete for max_hamming <= 3; "
+            "split into more bands for looser thresholds"
+        )
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    bands = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("h", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -3596,3 +3596,57 @@ def boilerplate_line_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "n_removed",
     )
+
+
+_DHASH_BASES = (
+    81985529216486895,    # 0x0123456789ABCDEF
+    4541127079495589729,  # distinct bit patterns, all < 2^62 so both
+    2865503692262871909,  # engines stay in positive BIGINT territory
+    1311768467463790320,
+)
+_DHASH_BASE_SQL = " ".join(
+    f"WHEN {g} THEN CAST({b} AS BIGINT)" for g, b in enumerate(_DHASH_BASES)
+)
+
+
+@query(
+    "dhash_hamming_pairs",
+    f"""
+    WITH hashes AS (
+      SELECT 'img://' || CAST(doc_id AS VARCHAR) AS url,
+             xor(CASE doc_id % 4 {_DHASH_BASE_SQL} END,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN (CAST(1 AS BIGINT) << (doc_id % 60))
+                      ELSE 0 END) AS dhash
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.url AS id_a, b.url AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.url < b.url
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+)
+def dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup matching, banded-vs-exhaustive: the
+    oracle enumerates ALL pairs within Hamming distance 3 by quadratic
+    cross join (ground truth); the engine's 4x16-bit band equi-join
+    (operators/multimodal.py:dhash_near_dup_pairs) must return the
+    IDENTICAL pair set — the pigeonhole completeness guarantee (<=3
+    differing bits cannot touch all 4 bands) verified value-for-value,
+    with no cross product in the engine plan."""
+    from .operators.multimodal import dhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    did = F.col("doc_id")
+    base = F.when(did % 4 == 0, F.lit(_DHASH_BASES[0]).cast("long"))
+    for g in (1, 2, 3):
+        base = base.when(did % 4 == g, F.lit(_DHASH_BASES[g]).cast("long"))
+    perturb = F.when(
+        did % 3 == 0,
+        F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    hashes = d.select(
+        F.concat(F.lit("img://"), did.cast("string")).alias("url"),
+        base.bitwiseXOR(perturb).alias("dhash"),
+    )
+    return dhash_near_dup_pairs(hashes)
