@@ -86,6 +86,8 @@ _DEMOTED = (
     "doc_token_counts",
     "doc_quality",
     "doc_lang_id",
+    "canonical_url_stats",
+    "doc_repetition_stats",
 )
 
 

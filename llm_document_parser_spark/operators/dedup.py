@@ -701,3 +701,63 @@ def strip_frequent_lines(
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication signal (RefinedWeb / Lee et al. style)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document exact-substring duplication signal: the fraction of
+    the document's DISTINCT word n-grams that also occur in at least one
+    OTHER document. The scalable stand-in for suffix-array substring
+    dedup (Lee et al. 2022): rather than rewriting documents around
+    duplicated spans, it scores how much of each document is corpus-
+    duplicated text, and the curation cascade thresholds it like any
+    other gate.
+
+    Returns ``(id, n_grams, dup_grams, dup_frac)`` for EVERY input row
+    (documents shorter than ``n`` tokens report 0 grams, fraction 0.0).
+
+    Scale shape: one explode of per-doc-distinct grams, one count agg on
+    the gram digest, one join back on the same key, one per-doc agg —
+    all uniform-hash shuffles; a gram present in 10^7 docs is one count
+    row (the join back fans it out only to its actual occurrences).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_gid"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("s"),
+    ).withColumn("_dig", F.md5("s")).drop("s")
+    counts = grams.groupBy("_dig").agg(F.count("*").alias("_docs"))
+    per_doc = (
+        grams.join(counts, "_dig")
+        .groupBy("_gid")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_gid"))
+        .join(per_doc, "_gid", "left")
+        .select(
+            F.col("_gid").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.round(
+                F.coalesce("dup_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

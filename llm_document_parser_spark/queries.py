@@ -3650,3 +3650,85 @@ def dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.bitwiseXOR(perturb).alias("dhash"),
     )
     return dhash_near_dup_pairs(hashes)
+
+
+@query(
+    "duplicate_ngram_fraction",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      FROM tok WHERE len(tk) >= 3
+    ),
+    cnt AS (SELECT s, count(*) AS docs FROM sh GROUP BY s),
+    per AS (
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS dup_grams
+      FROM sh JOIN cnt USING (s) GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(dup_grams, 0) AS BIGINT) AS dup_grams,
+           round(coalesce(dup_grams, 0)
+                 / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 6)
+             AS dup_frac
+    FROM all_docs a LEFT JOIN per USING (doc_id)
+    """,
+)
+def duplicate_ngram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal over the planted-duplicate
+    corpus: every cloned document (and its original) must report
+    dup_frac 1.0, unique documents whatever natural 3-gram overlap the
+    corpus has — value-for-value vs the oracle's gram-string restatement
+    (the engine keys on md5 digests; identical counts prove digesting
+    introduced no collisions at this scale)."""
+    return dedup.duplicate_ngram_fraction(_docs_with_exact_dups(spark, sf_dir))
+
+
+@query(
+    "user_sessions",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 172800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM lagd
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+             AS duration_secs
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (W-family window composition): 2-day gap
+    over the events table so sessions span 1..n events; the engine's
+    lag + running-sum single-Exchange plan (operators/sessions.py) must
+    produce identical (user, session) aggregates to the oracle's WINDOW
+    restatement — start timestamps, counts, and durations all hashed."""
+    from .operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(
+        e, user_col="user_id", ts_col="ts",
+        gap_minutes=2880, tiebreak_col="event_id",
+    )
