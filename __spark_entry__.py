@@ -88,6 +88,7 @@ _DEMOTED = (
     "doc_lang_id",
     "canonical_url_stats",
     "doc_repetition_stats",
+    "simhash_fingerprints",
 )
 
 

@@ -226,3 +226,63 @@ def pagerank(
             last_ckpt.unpersist()
             last_ckpt = state
     return state.select("host", F.col("rank").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# anchor text — the link-text corpus signal
+# ---------------------------------------------------------------------------
+# The text INSIDE <a> tags, keyed by the link's target: the classic
+# web-relevance signal (anchor-text corpora describe the TARGET page in
+# other authors' words — used for retrieval training sets and as a
+# quality prior alongside PageRank). Same regex discipline as HREF_RE:
+# one (?i) pattern, no lookaheads/backreferences, identical under Java
+# regex and RE2. Plain-text anchors only — an anchor whose inner content
+# contains nested markup ('<a ...><b>x</b></a>') yields no match by
+# design ([^<]* stops at the tag); DOM-accurate extraction belongs to
+# the lxml path of the boilerplate stripper, not a regex.
+
+ANCHOR_RE = HREF_RE + r"""(?:#[^"']*)?["'][^>]*>([^<]*)</a"""
+
+
+def anchor_pairs(html: Column) -> Column:
+    """array<struct<href,anchor>> of (href, inner text) pairs — the two
+    capture groups of one pattern, extracted in parallel and zipped
+    (regexp_extract_all returns per-group arrays over the SAME matches,
+    so index i of both arrays is the same <a> tag)."""
+    hrefs = F.coalesce(F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1), F.array())
+    texts = F.coalesce(F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2), F.array())
+    return F.zip_with(
+        hrefs, texts,
+        lambda h, t: F.struct(h.alias("href"), t.alias("anchor")),
+    )
+
+
+def normalize_anchor(anchor: Column) -> Column:
+    """Lowercase, whitespace-collapsed, trimmed anchor text."""
+    return F.trim(F.regexp_replace(F.lower(anchor), r"\s+", " "))
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, target_url, anchor) per plain-text anchor: hrefs resolved
+    against the page url (same resolution as extract_outlinks), anchor
+    normalized, empty anchors and unresolvable targets dropped. Narrow
+    per-row work then one explode — no shuffle until the caller's agg."""
+    h = F.col(html_col).cast("string")
+    scheme, host, base_dir = _base_parts(F.col(url_col))
+    pairs = pages.select(
+        F.col(url_col),
+        scheme.alias("_s"), host.alias("_h"), base_dir.alias("_d"),
+        F.explode(anchor_pairs(h)).alias("p"),
+    )
+    return (
+        pairs.select(
+            url_col,
+            _resolve_with(
+                F.col("_s"), F.col("_h"), F.col("_d"), F.col("p.href")
+            ).alias("target_url"),
+            normalize_anchor(F.col("p.anchor")).alias("anchor"),
+        )
+        .filter(F.col("target_url").isNotNull() & (F.col("anchor") != ""))
+    )

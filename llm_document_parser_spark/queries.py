@@ -3732,3 +3732,70 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, user_col="user_id", ts_col="ts",
         gap_minutes=2880, tiebreak_col="event_id",
     )
+
+
+@query(
+    "anchor_text_stats",
+    """
+    WITH expected AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst_host,
+             'read more' AS anchor
+      FROM documents
+      UNION ALL
+      SELECT 'w' || CAST(doc_id % 3 AS VARCHAR) || '.site', 'local guide'
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'w0.site', 'anchor with fragment'
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT dst_host, anchor, count(*) AS n
+    FROM expected GROUP BY dst_host, anchor
+    """,
+)
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus aggregation, regex-vs-arithmetic: pages are
+    built with absolute anchors, root-relative anchors (whitespace-mess
+    inner text exercising normalization), fragment-bearing relative
+    anchors, and a nested-markup anchor that must NOT match (the
+    documented plain-text-only contract). The engine's one-pattern
+    two-group zip + resolution + host aggregation
+    (operators/links.py:extract_anchor_texts) must reproduce the
+    oracle's closed-form expected counts exactly."""
+    from .operators.links import extract_anchor_texts
+    from .operators.urls import host_of
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page_url = F.concat(
+        F.lit("https://w"), (did % 3).cast("string"), F.lit(".site/a/b")
+    )
+    html = F.concat(
+        F.lit('<p>intro</p><a class="l" href="https://h'),
+        (did % 7).cast("string"),
+        F.lit('.example/p/'), did.cast("string"),
+        F.lit('">Read More</a>'),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="/docs/'), (did % 5).cast("string"),
+                F.lit('"> Local  Guide </a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.lit('<a href="page#sec">Anchor With Fragment</a>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit('<a href="https://skip.me/x"><b>Bold</b></a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(page_url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    anchors = extract_anchor_texts(pages)
+    return (
+        anchors.select(
+            host_of(F.col("target_url")).alias("dst_host"), "anchor"
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n"))
+    )

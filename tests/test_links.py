@@ -150,3 +150,27 @@ def test_pagerank_checkpoint_path(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src_host string, dst_host string, n_links int")
     assert pagerank(df, iterations=3).count() == 0
+
+
+# ------------------------------------------------------- anchor text
+
+
+def test_anchor_text_extraction(spark):
+    from llm_document_parser_spark.operators.links import extract_anchor_texts
+
+    html = (
+        '<a href="https://x.example/a">Read  More</a>'
+        '<a href="/local">  Spaced   Out  </a>'
+        '<a href="page#frag">With Fragment</a>'
+        '<a href="https://skip.me/z"><b>Nested</b></a>'
+        '<a href="https://y.example/b"></a>'  # empty anchor -> dropped
+    )
+    pages = spark.createDataFrame(
+        [("https://host.site/dir/page", html.encode())], "url string, html binary"
+    )
+    out = {(r["target_url"], r["anchor"]) for r in extract_anchor_texts(pages).collect()}
+    assert out == {
+        ("https://x.example/a", "read more"),
+        ("https://host.site/local", "spaced out"),
+        ("https://host.site/dir/page", "with fragment"),
+    }
