@@ -89,6 +89,8 @@ _DEMOTED = (
     "canonical_url_stats",
     "doc_repetition_stats",
     "simhash_fingerprints",
+    "jaccard_similarity_pairs",
+    "embedding_near_dups",
 )
 
 

@@ -155,3 +155,49 @@ def sitemap_locs(df: DataFrame, host_col: str = "host", xml_col: str = "xml") ->
             )
         ).alias("loc"),
     )
+
+
+def crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    default_delay: int = 1,
+) -> DataFrame:
+    """(host, delay_secs) from robots.txt — the FIRST ``Crawl-delay:``
+    value in the file (global reading: the politeness scheduler applies
+    one cadence per host regardless of which agent group declared it —
+    the conservative interpretation), ``default_delay`` when absent or
+    non-numeric. Pure regexp_extract, no shuffle."""
+    raw = F.regexp_extract(
+        F.col(body_col), r"(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*(\d+)", 1
+    )
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.when(raw != "", raw.cast("long"))
+        .otherwise(F.lit(default_delay).cast("long"))
+        .alias("delay_secs"),
+    )
+
+
+def schedule_fetch_waves(
+    frontier: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness scheduling for an admitted frontier: within each host,
+    urls are ordered deterministically (md5 of the url — unbiased, no
+    coordination) and assigned ``wave`` 0,1,2,... with
+    ``eta_secs = wave * delay_secs`` — the earliest time the fetcher may
+    issue the request while honoring the host's crawl delay. One window
+    per host (single Exchange) plus a broadcast-joinable delay table
+    (one row per host with a robots.txt)."""
+    w = Window.partitionBy(host_col).orderBy(F.md5(F.col(url_col)), F.col(url_col))
+    return (
+        frontier.join(delays, host_col, "left")
+        .withColumn(
+            "delay_secs", F.coalesce("delay_secs", F.lit(1).cast("long"))
+        )
+        .withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("eta_secs", (F.col("wave") * F.col("delay_secs")).cast("long"))
+    )

@@ -3799,3 +3799,101 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst_host", "anchor")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "fetch_wave_schedule",
+    """
+    WITH f AS (
+      SELECT source || '.example' AS host,
+             'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR)
+               AS url
+      FROM documents
+    ), d AS (
+      SELECT DISTINCT source || '.example' AS host,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                  THEN 7 ELSE 1 END AS delay_secs
+      FROM documents
+    ), ranked AS (
+      SELECT f.url, f.host, d.delay_secs,
+             row_number() OVER (PARTITION BY f.host
+                                ORDER BY md5(f.url), f.url) - 1 AS wave
+      FROM f JOIN d USING (host)
+    )
+    SELECT url, host, CAST(delay_secs AS BIGINT) AS delay_secs,
+           CAST(wave AS BIGINT) AS wave,
+           CAST(wave * delay_secs AS BIGINT) AS eta_secs
+    FROM ranked
+    """,
+)
+def fetch_wave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling end-to-end: robots.txt bodies are BUILT with
+    even-numbered hosts declaring Crawl-delay 7 (plus a second delay
+    line that must lose — first-match), odd hosts either no delay or a
+    non-numeric one (both -> default 1); the engine PARSES the bodies
+    (operators/robots.py:crawl_delays) and windows the frontier into
+    waves, while the oracle knows the delays arithmetically — any parse,
+    default, ordering, or eta bug mismatches."""
+    from .operators.robots import crawl_delays, schedule_fetch_waves
+
+    d = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    host = F.concat(F.col("source"), F.lit(".example"))
+    nl = F.lit("\n")
+    body = F.concat(
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /private"),
+        F.when(
+            src_num % 2 == 0,
+            F.concat(nl, F.lit("Crawl-delay: 7"), nl, F.lit("Crawl-delay: 9")),
+        ).when(
+            src_num % 5 == 3, F.concat(nl, F.lit("Crawl-delay: soon"))
+        ).otherwise(F.lit("")),
+    )
+    robots = d.select(host.alias("host"), body.alias("body")).distinct()
+    delays = crawl_delays(robots)
+    frontier = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        host.alias("host"),
+    )
+    waved = schedule_fetch_waves(frontier, delays)
+    return waved.select("url", "host", "delay_secs", "wave", "eta_secs")
+
+
+@query(
+    "doc_length_quantiles",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS toks
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(quantile_cont(toks, 0.50), 4) AS p50,
+           round(quantile_cont(toks, 0.90), 4) AS p90,
+           round(quantile_cont(toks, 0.99), 4) AS p99
+    FROM t GROUP BY source
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report (the first table in any corpus
+    datasheet): exact per-source token-count percentiles. Spark's exact
+    ``percentile`` (linear interpolation) must agree with DuckDB's
+    ``quantile_cont`` to 4 decimals — a cross-engine pin of the
+    interpolation semantics, not just the data. (At 10^12 rows the same
+    report swaps in ``approx_percentile`` — documented, not oracled, as
+    its sketch is engine-specific.)"""
+    from .operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source", token_count(F.col("text")).cast("double").alias("toks")
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(toks, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(toks, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(toks, 0.99)"), 4).alias("p99"),
+    )

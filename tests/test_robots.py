@@ -131,3 +131,53 @@ def test_sitemap_locs(spark):
     assert sorted(got) == [
         ("h", "https://a/1"), ("h", "https://a/2"), ("h", "https://a/3")
     ]
+
+
+# ------------------------------------------------------- crawl-delay waves
+
+
+def test_crawl_delays_parse(spark):
+    from llm_document_parser_spark.operators.robots import crawl_delays
+
+    rows = [
+        ("a.com", "User-agent: *\nCrawl-delay: 5\nCrawl-delay: 9"),
+        ("b.com", "User-agent: *\nDisallow: /x"),          # absent -> default
+        ("c.com", "User-agent: *\ncrawl-DELAY:  12 "),     # case/space
+        ("d.com", "Crawl-delay: soon"),                    # non-numeric
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    out = {r["host"]: r["delay_secs"] for r in crawl_delays(df).collect()}
+    assert out == {"a.com": 5, "b.com": 1, "c.com": 12, "d.com": 1}
+
+
+def test_fetch_waves_per_host(spark):
+    from llm_document_parser_spark.operators.robots import schedule_fetch_waves
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 2}.com/p{i}", f"h{i % 2}.com") for i in range(10)],
+        "url string, host string",
+    )
+    delays = spark.createDataFrame(
+        [("h0.com", 10), ("h1.com", 2)], "host string, delay_secs long"
+    )
+    out = schedule_fetch_waves(frontier, delays).collect()
+    by_host: dict[str, list] = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rows in by_host.items():
+        waves = sorted(r["wave"] for r in rows)
+        assert waves == list(range(5))  # dense 0..4 within each host
+        for r in rows:
+            assert r["eta_secs"] == r["wave"] * r["delay_secs"]
+    assert {r["delay_secs"] for r in by_host["h0.com"]} == {10}
+
+
+def test_fetch_waves_unknown_host_defaults(spark):
+    from llm_document_parser_spark.operators.robots import schedule_fetch_waves
+
+    frontier = spark.createDataFrame(
+        [("https://x.com/1", "x.com")], "url string, host string"
+    )
+    empty = spark.createDataFrame([], "host string, delay_secs long")
+    r = schedule_fetch_waves(frontier, empty).collect()[0]
+    assert r["delay_secs"] == 1 and r["wave"] == 0 and r["eta_secs"] == 0
