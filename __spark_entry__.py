@@ -91,6 +91,7 @@ _DEMOTED = (
     "simhash_fingerprints",
     "jaccard_similarity_pairs",
     "embedding_near_dups",
+    "revenue_rollup",
 )
 
 

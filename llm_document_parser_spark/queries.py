@@ -3897,3 +3897,62 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(toks, 0.90)"), 4).alias("p90"),
         F.round(F.expr("percentile(toks, 0.99)"), 4).alias("p99"),
     )
+
+
+@query(
+    "domain_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ), longtoks AS (
+      SELECT doc_id, source, tok FROM toks WHERE length(tok) >= 4
+    ), tf AS (
+      SELECT source, tok, count(*) AS tf
+      FROM longtoks GROUP BY source, tok
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM longtoks GROUP BY tok
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.tok,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ), ranked AS (
+      SELECT source, tok, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, tok, score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def domain_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain characteristic vocabulary: document-frequency TF-IDF
+    over distinct-per-doc tokens (len >= 4), top 3 per source with a
+    deterministic tiebreak — the corpus-exploration report a dataset
+    datasheet includes next to the mix table. Cross-engine: Spark
+    F.log (natural) vs DuckDB ln to 6 decimals, identical ranking."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    ).filter(F.length("tok") >= 4)
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(dfreq, "tok").select(
+        "source", "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "rnk", "tok", "score")
+    )
