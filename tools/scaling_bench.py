@@ -18,6 +18,11 @@ Methodology notes (all three matter on this host):
 
 Usage: python tools/scaling_bench.py [n_docs] [N] [trials]
        (default 256000 docs, N=8, 3 trials per level)
+       python tools/scaling_bench.py --leg CORES [n_docs]
+       (single leg: materialize if needed, run once, append to
+        .data/scaling_legs.jsonl, exit — so a wedged or interrupted
+        session costs one leg, and a pair can be assembled from the
+        leg log afterwards)
 """
 
 from __future__ import annotations
@@ -109,10 +114,7 @@ def host_contention_probe(total_cores: int) -> float:
     return loaded / solo
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 256000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+def _ensure_pages(n_docs: int, n: int) -> str:
     pages_path = os.path.join(REPO, ".data", f"scale_pages_{n_docs}")
     if not os.path.exists(pages_path):
         gen = (
@@ -124,6 +126,24 @@ def main() -> None:
             "s.stop()\n"
         ).format(repo=REPO, c=4 * n, p=pages_path, n=n_docs, parts=8 * n)
         subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
+    return pages_path
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        cores = int(sys.argv[2])
+        n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
+        pages_path = _ensure_pages(n_docs, max(cores // 4, 2))
+        timeout_s = max(600.0, 6 * n_docs / (35.0 * cores))
+        secs = run_once(cores, pages_path, n_docs, timeout_s)
+        print(json.dumps({"cores": cores, "n_docs": n_docs,
+                          "secs": round(secs, 2),
+                          "docs_per_sec": round(n_docs / secs, 1)}))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 256000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    pages_path = _ensure_pages(n_docs, n)
 
     slowdown = host_contention_probe(4 * n)
     # per-leg ceiling: generous 6x the expected leg (measured worst ~35
