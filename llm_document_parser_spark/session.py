@@ -79,8 +79,16 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(ARROW_MAX_RECORDS_PER_BATCH),
         # reuse python workers so per-executor singletons (models, compiled
-        # regexes) are loaded once, not per task
-        "spark.python.worker.reuse": "true",
+        # regexes) are loaded once, not per task. SPARK_GRAFT_WORKER_REUSE=0
+        # opts out: a reused worker that dies SILENTLY (no OOM — observed
+        # twice on 10M-page runs, 2026-08-17) leaves its daemon holding the
+        # socket fd, so the next task blocks on read forever; fresh-fork
+        # workers bound that failure to one task instead of wedging the job
+        "spark.python.worker.reuse": (
+            "false"
+            if os.environ.get("SPARK_GRAFT_WORKER_REUSE", "1") == "0"
+            else "true"
+        ),
         # broadcast joins for dimension tables up to 64 MB
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         # quieter local runs
