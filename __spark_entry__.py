@@ -56,42 +56,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver attests at most 50 queries per round, in iteration order.
-# These long-stable TPC-H-style rows (green since round 1, re-checkable
-# any time with tools/check_queries.py) yield their slots so every newer
-# operator gets a driver-attested CORRECTNESS row.
+# ROTATION POLICY (round-4 VERDICT task 8): each round, the demoted set
+# flips to queries that WERE driver-attested the previous round, so every
+# catalog query gets a driver-attested CORRECTNESS row at least every
+# other round. The full catalog is additionally machine-attested every
+# round via `python tools/check_queries.py --json CHECK_FULL_r{N}.json`
+# (committed at round end). Round 5 demotes rows green in
+# CORRECTNESS_r04.json, promoting the 32 rows demoted in round 4 plus any
+# query whose underlying operator changed this round (robots, charset,
+# anchor text, funnel, decontamination — those stay in the window).
 _DEMOTED = (
-    "distinct_parts_per_flag",
-    "docs_regex_filter",
-    "docs_first_after_the",
-    "latest_events_per_user",
-    "event_scalar_funcs",
-    "token_dedup_stats",
-    "segment_order_stats",
-    "big_spender_nations",
-    "events_facets",
-    "hourly_event_counts",
-    "expensive_parts_by_brand",
-    "supplier_nation_balance",
-    "order_status_cube",
-    "order_priority_counts",
-    "events_summary",
-    "customers_without_orders",
-    "union_sources",
-    "top_orders",
-    "paginated_orders",
-    "pricing_summary",
-    "regional_revenue",
-    "user_activity_rollup",
-    "doc_fingerprint",
-    "doc_token_counts",
-    "doc_quality",
-    "doc_lang_id",
-    "canonical_url_stats",
-    "doc_repetition_stats",
-    "simhash_fingerprints",
-    "jaccard_similarity_pairs",
-    "embedding_near_dups",
-    "revenue_rollup",
+    "export_flatten",
+    "synth_invoice_roundtrip",
+    "synth_invoice_spans",
+    "gopher_quality_flags",
+    "blocklist_filter",
+    "doc_script_profile",
+    "page_metadata",
+    "doc_unigram_logprob",
+    "doc_nfc_stats",
+    "paragraph_dedup_docs",
+    "curated_corpus_stats",
+    "exact_dup_groups",
+    "minhash_near_dup_pairs",
+    "incremental_near_dups",
+    "verified_near_dup_pairs",
+    "near_dup_clusters",
+    "ann_cosine_topk",
+    "curated_extraction_stats",
+    "quick_search_top10",
+    "deterministic_doc_sample",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_near_dups_banded",
+    "host_url_stats_salted",
+    "token_budget_sample",
+    "docs_per_host_cap",
+    "pii_redacted_docs",
+    "page_outlinks",
+    "host_pagerank",
+    "warc_roundtrip",
+    "registrable_domains",
+    "latest_capture_per_url",
 )
 
 

@@ -26,11 +26,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# executor-faithful heap: 2 GB per core, fully pre-touched (lazy heap growth
-# measured as 80-90% kernel time at 32 threads — see BENCH/BASELINE.md)
+# executor-faithful heap ceiling: 2 GB per core (Xmx only, LAZY growth).
+# Round 4 pre-touched the whole heap (SPARK_GRAFT_PRETOUCH=1) after
+# measuring lazy growth as 80-90% kernel time at 32 threads; round 5
+# measured the same host supplying first-touch pages at ~40-70 MB/s
+# (hypervisor-throttled, THP doesn't help), making a 64 GB pretouch a
+# 15-25 MINUTE startup tax — see BENCH/BASELINE.md "heap strategy".
+# Lazy + the untimed warm-up runs below gets the same steady-state: the
+# warm-up faults in every page the timed run will touch.
 _CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * _CPUS}g")
-os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 # measured batch sweep at 1M pages (BENCH/BASELINE.md): 8192-row Arrow
 # batches cut extract wall-clock ~15% vs the 2048 default on this
 # small-payload corpus (~1-2 KB/page → ~16 MB/batch). The library default
@@ -192,6 +197,18 @@ def main() -> None:
         docs50k, bench_items, id_col="url", text_col="extracted_text", n=8
     ).write.format("noop").mode("overwrite").save()
     per_query["decontaminate_50k"] = round(time.perf_counter() - t0, 3)
+    # same report through the Bloom pre-filter (result identical by
+    # construction — no false negatives; see operators/decontaminate.py).
+    # At this 500-item benchmark the broadcast gram table is already tiny,
+    # so this leg measures the pre-filter's OVERHEAD floor; its win
+    # appears at 10^5-10^6-item benchmarks where the gram table stops
+    # being broadcastable and only the bitmap ships.
+    t0 = time.perf_counter()
+    dc.contamination_report(
+        docs50k, bench_items, id_col="url", text_col="extracted_text", n=8,
+        bloom_fpp=0.001,
+    ).write.format("noop").mode("overwrite").save()
+    per_query["decontaminate_bloom_50k"] = round(time.perf_counter() - t0, 3)
 
     # --- timed: quality/normalization tier at extraction scale ---
     # gopher: all-native array/HOF metrics, zero Python — measures the
@@ -247,7 +264,11 @@ def main() -> None:
     # --- timed: WARC record parse at width (Arrow-batched Python parser) ---
     from llm_document_parser_spark.warc import parse_warc_record_udf
 
-    body_len = F.length(F.col("html_text")).cast("string")
+    # Content-Length is an OCTET count: measure the UTF-8 encoding, not the
+    # character count, or any non-ASCII char in extracted text mis-frames
+    # the record and iter_warc_records silently skips it (we'd then be
+    # timing the skip path, not the parse path).
+    body_len = F.length(F.encode(F.col("html_text"), "UTF-8")).cast("string")
     http_pre = F.concat(
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
         body_len,
@@ -262,7 +283,10 @@ def main() -> None:
                 "\r\nContent-Type: application/http; msgtype=response\r\n"
                 "Content-Length: "
             ),
-            (F.length(http_pre) + F.length("html_text")).cast("string"),
+            (
+                F.length(F.encode(http_pre, "UTF-8"))
+                + F.length(F.encode(F.col("html_text"), "UTF-8"))
+            ).cast("string"),
             F.lit("\r\n\r\n"),
             http_pre,
             F.col("html_text"),
@@ -275,6 +299,15 @@ def main() -> None:
         "p.url", "p.warc_ts"
     ).write.format("noop").mode("overwrite").save()
     per_query["warc_parse_50k"] = round(time.perf_counter() - t0, 3)
+    # untimed sanity: every synthesized record must actually parse (a
+    # framing bug makes iter_warc_records skip records silently, and the
+    # timing above would then measure the skip path)
+    parsed = (
+        pages_raw.select(parse_warc_record_udf(warc_bytes).alias("p"))
+        .where(F.col("p.url").isNotNull())
+        .count()
+    )
+    assert parsed == N_EXTRACT_DOCS, f"warc frame bug: {parsed}/{N_EXTRACT_DOCS}"
 
     total = round(extract_secs + sum(per_query.values()), 3)
     print(

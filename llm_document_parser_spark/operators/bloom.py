@@ -111,17 +111,13 @@ def build_seen_bloom(
     return SeenBloom(bitmap, m, k)
 
 
-def filter_unseen(
-    candidates: DataFrame,
-    bloom: SeenBloom,
-    url_col: str = "url",
-) -> DataFrame:
-    """Candidate rows whose url is definitely NOT in the seen-set the
-    filter was built from (map-side, zero shuffle; drops every seen url
-    plus the fpp-rate of false positives)."""
+def _might_contain_pred(df: DataFrame, bloom: SeenBloom, col: str):
+    """Boolean Column: value MIGHT be in the set ``bloom`` was built from
+    (true for every member, plus false positives at the fpp rate).
+    Map-side only — one numpy bitmap gather against a broadcast bitmap."""
     # explicit broadcast: a closure-captured array reships with every
     # task's serialized UDF; a broadcast ships once per executor
-    bc = candidates.sparkSession.sparkContext.broadcast(bloom.words)
+    bc = df.sparkSession.sparkContext.broadcast(bloom.words)
 
     @pandas_udf("boolean")
     def _might_contain(pos_lists: pd.Series) -> pd.Series:
@@ -134,10 +130,31 @@ def filter_unseen(
         return pd.Series(bit.all(axis=1))
 
     pos_col = F.array(
-        *_positions(F.col(url_col), bloom.num_bits, bloom.num_hashes)
+        *_positions(F.col(col), bloom.num_bits, bloom.num_hashes)
     )
-    return (
-        candidates.withColumn("_bloom_pos", pos_col)
-        .filter(~_might_contain(F.col("_bloom_pos")))
-        .drop("_bloom_pos")
-    )
+    return _might_contain(pos_col)
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    bloom: SeenBloom,
+    url_col: str = "url",
+) -> DataFrame:
+    """Candidate rows whose url is definitely NOT in the seen-set the
+    filter was built from (map-side, zero shuffle; drops every seen url
+    plus the fpp-rate of false positives)."""
+    return candidates.filter(~_might_contain_pred(candidates, bloom, url_col))
+
+
+def filter_might_contain(
+    candidates: DataFrame,
+    bloom: SeenBloom,
+    col: str = "url",
+) -> DataFrame:
+    """The positive side: rows whose value MIGHT be in the built set.
+    Keeps EVERY true member (no false negatives) plus the fpp rate of
+    non-members — the right pre-filter in front of an exact join that
+    verifies survivors (see operators/decontaminate.py), where false
+    positives cost a little join volume and false negatives would cost
+    correctness."""
+    return candidates.filter(_might_contain_pred(candidates, bloom, col))

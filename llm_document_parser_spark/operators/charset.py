@@ -118,7 +118,14 @@ def detect_charset(payload: bytes | None) -> str:
             return label
     declared = declared_charset(payload[:_SNIFF_BYTES])
     if declared is not None and declared != "utf-8":
-        return declared
+        # a declaration can lie — only report it if a strict decode
+        # succeeds, exactly mirroring decode_payload's fall-through, so
+        # detect_charset(p) == decode_payload(p)[1] always holds
+        try:
+            payload.decode(declared, errors="strict")
+            return declared
+        except (UnicodeDecodeError, LookupError):
+            pass
     try:
         payload.decode("utf-8", errors="strict")
         return "utf-8"

@@ -58,6 +58,7 @@ def contamination_report(
     min_hits: int = 1,
     broadcast_bench: bool = True,
     join_on_hash: bool = False,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """(doc id, overlap_ngrams, n_benchmarks) for every document sharing
     ≥ ``min_hits`` distinct n-grams with the benchmark. Clean documents
@@ -73,13 +74,24 @@ def contamination_report(
     hence default False. The knob exists for 10^5-10^6-item benchmarks,
     where shrinking the broadcast table ~10x is what keeps it
     broadcastable; collision odds (~corpus-grams×bench-grams / 2^64)
-    are immaterial against the filter's own heuristic semantics."""
+    are immaterial against the filter's own heuristic semantics.
+
+    ``bloom_fpp`` (e.g. 0.001) inserts a Bloom pre-filter (operators/
+    bloom.py) between the corpus gram explode and the join: a filter is
+    built over the benchmark gram keys and corpus grams that can't
+    possibly match are dropped MAP-SIDE before they reach the join
+    probe. A Bloom has no false negatives, so every true collision
+    survives to the exact join and the report is IDENTICAL to the
+    unfiltered path (tested); false positives only add back a bloom_fpp
+    fraction of join volume. This is the 10^5-10^6-item-benchmark scale
+    path: the bitmap (~1.8 MB per 10^6 grams at 0.1% fpp) broadcasts
+    even when the gram TABLE no longer should, and with
+    ``broadcast_bench=False`` the shuffle then moves only the ~fpp
+    fraction of corpus grams instead of all of them."""
     bench = benchmark_ngrams(benchmark, bench_id_col, bench_text_col, n)
     key = "gkey" if join_on_hash else "ngram"
     if join_on_hash:
         bench = bench.select(F.xxhash64("ngram").alias("gkey"), "bench_id")
-    if broadcast_bench:
-        bench = F.broadcast(bench)
     gram = F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram")
     if join_on_hash:
         doc_ngrams = docs.select(F.col(id_col), gram).select(
@@ -87,6 +99,14 @@ def contamination_report(
         )
     else:
         doc_ngrams = docs.select(F.col(id_col), gram)
+    if bloom_fpp is not None:
+        from .bloom import build_seen_bloom, filter_might_contain
+
+        bench_keys = bench.select(key).distinct()
+        bloom = build_seen_bloom(bench_keys, url_col=key, fpp=bloom_fpp)
+        doc_ngrams = filter_might_contain(doc_ngrams, bloom, col=key)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
     return (
         doc_ngrams.join(bench, key)
         .groupBy(id_col)
@@ -107,12 +127,15 @@ def decontaminate(
     bench_text_col: str = "text",
     n: int = 13,
     min_hits: int = 1,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """The keep-side: ``docs`` minus contaminated rows — an anti-join
     against the (small) contamination report, preserving the input
-    schema. One broadcast join + one agg + one anti-join."""
+    schema. One broadcast join + one agg + one anti-join. ``bloom_fpp``
+    enables the Bloom pre-filter (see contamination_report) — the kept
+    set is unchanged either way, only the join volume shrinks."""
     contaminated = contamination_report(
         docs, benchmark, id_col, text_col, bench_id_col, bench_text_col,
-        n=n, min_hits=min_hits,
+        n=n, min_hits=min_hits, bloom_fpp=bloom_fpp,
     ).select(id_col)
     return docs.join(contaminated, id_col, "left_anti")

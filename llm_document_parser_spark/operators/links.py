@@ -268,8 +268,14 @@ def extract_anchor_texts(
     """(url, target_url, anchor) per plain-text anchor: hrefs resolved
     against the page url (same resolution as extract_outlinks), anchor
     normalized, empty anchors and unresolvable targets dropped. Narrow
-    per-row work then one explode — no shuffle until the caller's agg."""
-    h = F.col(html_col).cast("string")
+    per-row work then one explode — no shuffle until the caller's agg.
+
+    ``html_col`` must be an already-DECODED string column — the same
+    contract as extract_outlinks. Route binary payloads through
+    operators/charset.decode_payload first; a raw byte reinterpretation
+    here would yield mojibake anchor text on legacy-encoded pages
+    (round-4 ADVICE)."""
+    h = F.col(html_col)
     scheme, host, base_dir = _base_parts(F.col(url_col))
     pairs = pages.select(
         F.col(url_col),

@@ -132,9 +132,15 @@ def robots_allowed(
             F.lit(-1),
         ).alias("_dis_len"),
     )
-    verdict = per_url.select(
-        "_u", "host", (F.col("_allow_len") >= F.col("_dis_len")).alias("allowed")
-    )
+    # If the caller's frame already carries a `host` column (common after
+    # other operators in this module), keep THEIRS and return only the
+    # verdict — a second host column makes any downstream F.col("host")
+    # raise AMBIGUOUS_REFERENCE (round-4 ADVICE). Callers without one get
+    # the derived host for free, as before.
+    verdict_cols = ["_u", (F.col("_allow_len") >= F.col("_dis_len")).alias("allowed")]
+    if "host" not in urls.columns:
+        verdict_cols.insert(1, F.col("host"))
+    verdict = per_url.select(*verdict_cols)
     return urls.join(
         verdict, urls[url_col] == verdict["_u"], "left"
     ).drop("_u")

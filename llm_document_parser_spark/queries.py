@@ -3790,7 +3790,9 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('<a href="https://skip.me/x"><b>Bold</b></a>'),
         ).otherwise(F.lit("")),
     )
-    pages = d.select(page_url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    # extract_anchor_texts takes a DECODED string column (same contract as
+    # extract_outlinks); binary payloads go through charset.decode_payload
+    pages = d.select(page_url.alias("url"), html.alias("html"))
     anchors = extract_anchor_texts(pages)
     return (
         anchors.select(

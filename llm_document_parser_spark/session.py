@@ -54,9 +54,14 @@ def get_spark(
             "SPARK_GRAFT_LOCAL_DIR", "/root/repo/.data/spark-local"
         ),
         # Spark sets only -Xmx from spark.driver.memory; the heap then grows
-        # lazily and page-faults in DURING jobs (measured: 80-90% kernel time
-        # at 32 threads). Benchmarks set SPARK_GRAFT_PRETOUCH=1 to commit the
-        # whole heap at JVM start instead.
+        # lazily and page-faults in DURING jobs (measured round 4: 80-90%
+        # kernel time at 32 threads). SPARK_GRAFT_PRETOUCH=1 commits the
+        # whole heap at JVM start instead — but USE WITH CARE: this host's
+        # first-touch page supply is hypervisor-throttled and TIME-VARYING
+        # (measured round 5: ~40-70 MB/s, THP no help), so pre-touching a
+        # 64 GB heap can cost 15-25 MINUTES before main() runs. Benchmark
+        # harnesses now prefer lazy heap + an untimed warm-up run, which
+        # commits exactly the pages the timed run touches.
         **(
             {
                 "spark.driver.extraJavaOptions": (

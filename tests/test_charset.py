@@ -76,6 +76,26 @@ def test_detect_declaration_beats_probe():
     assert detect_charset(payload) == "windows-1251"
 
 
+def test_detect_agrees_with_decode_on_lying_declaration():
+    # declares shift_jis but the body is NOT valid shift_jis; decode_payload
+    # falls through to its UTF-8 probe, so detect_charset must report the
+    # same label (round-4 ADVICE: the pair used to disagree here)
+    lying = b'<meta charset="shift_jis"><p>\x81\x39 ok</p>'
+    try:
+        lying.decode("shift_jis", errors="strict")
+        raise AssertionError("fixture must be invalid shift_jis")
+    except UnicodeDecodeError:
+        pass
+    assert detect_charset(lying) == decode_payload(lying)[1]
+    # and one that lies AND isn't UTF-8 either -> both land on 1252
+    lying2 = b'<meta charset="shift_jis"><p>\x81\x39 caf\xe9</p>'
+    assert detect_charset(lying2) == "windows-1252"
+    assert decode_payload(lying2)[1] == "windows-1252"
+    # truthful declaration still wins in both
+    truthful = "<meta charset=\"windows-1251\"><p>При</p>".encode("windows-1251")
+    assert detect_charset(truthful) == decode_payload(truthful)[1] == "windows-1251"
+
+
 def test_detect_fallback_1252():
     assert detect_charset(b"plain ascii") == "utf-8"
     assert detect_charset("café".encode("utf-8")) == "utf-8"

@@ -77,6 +77,53 @@ def test_benchmark_is_broadcast(spark):
     assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
 
 
+def test_bloom_prefilter_report_identical(spark):
+    # Bloom pre-filter has no false negatives, so the verified report must
+    # equal the exact path's report exactly — for both join key modes
+    docs, bench = _docs(spark), _bench(spark)
+    exact = sorted(map(tuple, dc.contamination_report(docs, bench, n=8).collect()))
+    for join_on_hash in (False, True):
+        got = sorted(
+            map(
+                tuple,
+                dc.contamination_report(
+                    docs, bench, n=8, join_on_hash=join_on_hash, bloom_fpp=0.001
+                ).collect(),
+            )
+        )
+        assert got == exact, f"join_on_hash={join_on_hash}"
+    # keep-side unchanged too
+    kept = dc.decontaminate(docs, bench, n=8, bloom_fpp=0.001)
+    assert {r["doc_id"] for r in kept.collect()} == {"d3", "d4"}
+
+
+def test_bloom_prefilter_cuts_probe_volume(spark):
+    # clean grams must be dropped map-side: the pre-filtered gram stream
+    # reaching the join is a small superset of the true collisions, far
+    # below the full corpus gram count
+    from llm_document_parser_spark.operators.bloom import (
+        build_seen_bloom,
+        filter_might_contain,
+    )
+
+    docs, bench = _docs(spark), _bench(spark)
+    from llm_document_parser_spark.operators.dedup import shingles_col
+
+    doc_ngrams = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k=8)).alias("ngram")
+    )
+    bench_keys = dc.benchmark_ngrams(bench, n=8).select("ngram").distinct()
+    bloom = build_seen_bloom(bench_keys, url_col="ngram", fpp=0.001)
+    total = doc_ngrams.count()
+    survived = filter_might_contain(doc_ngrams, bloom, col="ngram")
+    n_survived = survived.count()
+    true_hits = doc_ngrams.join(bench_keys, "ngram").count()
+    assert true_hits <= n_survived  # no false negatives
+    assert n_survived < total * 0.25  # the clean bulk died map-side
+    # and the surviving false positives are within a generous fpp budget
+    assert n_survived - true_hits <= max(5, int(total * 0.01))
+
+
 def test_short_docs_and_benchmarks_yield_no_ngrams(spark):
     docs = spark.createDataFrame(
         [("s1", "too short"), ("s2", None)], "doc_id string, text string"

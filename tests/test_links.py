@@ -166,7 +166,7 @@ def test_anchor_text_extraction(spark):
         '<a href="https://y.example/b"></a>'  # empty anchor -> dropped
     )
     pages = spark.createDataFrame(
-        [("https://host.site/dir/page", html.encode())], "url string, html binary"
+        [("https://host.site/dir/page", html)], "url string, html string"
     )
     out = {(r["target_url"], r["anchor"]) for r in extract_anchor_texts(pages).collect()}
     assert out == {
@@ -174,3 +174,21 @@ def test_anchor_text_extraction(spark):
         ("https://host.site/local", "spaced out"),
         ("https://host.site/dir/page", "with fragment"),
     }
+
+
+def test_anchor_text_legacy_encoding_via_decode_payload(spark):
+    # the documented binary route: charset.decode_payload -> anchor extract.
+    # A windows-1252 page with a non-ASCII anchor must come out clean, not
+    # as a mojibake byte reinterpretation (round-4 ADVICE).
+    from llm_document_parser_spark.operators.extract_udfs import decode_page_udf
+    from llm_document_parser_spark.operators.links import extract_anchor_texts
+
+    html_1252 = '<a href="/café">Café Menu</a>'.encode("windows-1252")
+    pages = spark.createDataFrame(
+        [("https://host.site/", html_1252)], "url string, html binary"
+    )
+    decoded = pages.select(
+        "url", decode_page_udf(F.col("html")).getField("text").alias("html")
+    )
+    (row,) = extract_anchor_texts(decoded).collect()
+    assert row["anchor"] == "café menu"

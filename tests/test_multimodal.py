@@ -160,6 +160,124 @@ def test_frame_sample_plan(spark):
     assert {f["frame_ts_ms"] for f in frames} == {0, 1000, 2000}
 
 
+# ------------------------------------------------------------- video stage
+
+
+def test_environment_has_no_video_codec():
+    assert not mm.HAS_AV and not mm.HAS_IMAGEIO  # stand-in path is default
+
+
+def test_video_frames_end_to_end_matches_native_plan(spark):
+    # decode output (url, frame_idx) must be EXACTLY the native plan's set,
+    # and features must be deterministic, L1-normalized, FEATURE_DIM-wide
+    media = spark.createDataFrame(_media_rows(), MEDIA_SCHEMA)
+    frames = mm.extract_video_frames(media, every_ms=1000)
+    got = {(r["url"], r["frame_idx"], r["frame_ts_ms"]) for r in frames.collect()}
+    planned = {
+        (r["url"], r["frame_idx"], r["frame_ts_ms"])
+        for r in frame_sample_plan(media, every_ms=1000).collect()
+    }
+    assert got == planned and len(got) == 3
+    rows = {r["frame_idx"]: r for r in frames.collect()}
+    for r in rows.values():
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+    # timestamp-seeded: different frames of the same payload differ
+    # (unless the payload is shorter than the window — this one is tiny,
+    # so just re-run and check determinism instead)
+    again = {r["frame_idx"]: r for r in mm.extract_video_frames(media).collect()}
+    for i in rows:
+        assert rows[i]["feature"] == again[i]["feature"]
+
+
+def test_video_fake_deterministic_and_ts_sensitive():
+    payload = bytes(range(256)) * 64  # long enough that windows differ
+    a = mm._video_frames_fake(payload, [0, 1000, 2000])
+    b = mm._video_frames_fake(payload, [0, 1000, 2000])
+    assert a == b
+    assert a[0] != a[1]  # timestamp-seeded windows differ
+
+
+class _FakeAvFrame:
+    def __init__(self, pixels):
+        self._pixels = pixels
+
+    def to_image(self):
+        frame = self
+
+        class _Img:
+            def convert(self, mode):
+                assert mode == "L"
+                return self
+
+            def resize(self, wh):
+                assert wh == (32, 32)
+                return self
+
+            def getdata(self):
+                return frame._pixels
+
+        return _Img()
+
+
+class _FakeAvMod:
+    """Mimics the av API surface _decode_video_frames_av touches."""
+
+    def __init__(self, pixels_per_seek):
+        self.pixels_per_seek = pixels_per_seek
+        self.seeks = []
+
+    def open(self, fobj):
+        outer = self
+
+        class _Container:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            class streams:
+                video = [object()]
+
+            def seek(self, ts_us, backward=True):
+                outer.seeks.append(ts_us)
+
+            def decode(self, stream):
+                yield _FakeAvFrame(outer.pixels_per_seek[len(outer.seeks) - 1])
+
+        return _Container()
+
+
+def test_av_dispatch_when_installed(monkeypatch):
+    # frame 0 all-black, frame 1 all-white → distinguishable histograms
+    fake = _FakeAvMod([[0] * 1024, [255] * 1024])
+    monkeypatch.setattr(mm, "av", fake, raising=False)
+    monkeypatch.setattr(mm, "HAS_AV", True)
+
+    def boom(payload, ts):
+        raise AssertionError("stand-in must not run when PyAV is installed")
+
+    monkeypatch.setattr(mm, "_video_frames_fake", boom)
+    out = mm._payload_to_video_frames(b"vidbytes", 2000, 1000)
+    assert fake.seeks == [0, 1_000_000]  # planned timestamps in microseconds
+    assert [(i, ts) for i, ts, _ in out] == [(0, 0), (1, 1000)]
+    assert out[0][2][0] == 1.0  # black → all mass in bin 0
+    assert out[1][2][FEATURE_DIM - 1] == 1.0  # white → all mass in last bin
+
+
+def test_av_decode_error_degrades_to_none(monkeypatch):
+    class _Boom:
+        def open(self, fobj):
+            raise ValueError("corrupt container")
+
+    monkeypatch.setattr(mm, "av", _Boom(), raising=False)
+    monkeypatch.setattr(mm, "HAS_AV", True)
+    out = mm._payload_to_video_frames(b"junk", 3000, 1000)
+    assert [(i, ts) for i, ts, _ in out] == [(0, 0), (1, 1000), (2, 2000)]
+    assert all(f is None for _, _, f in out)
+
+
 # ------------------------------------------------------------- audio stage
 
 

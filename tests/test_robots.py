@@ -118,6 +118,24 @@ def test_preserves_input_columns(spark):
     assert row["host"] == "h.example"
 
 
+def test_no_duplicate_host_column(spark):
+    # a frame that ALREADY has a host column (common after other operators
+    # in this module) must keep exactly its own — a second verdict-side
+    # host made downstream F.col("host") ambiguous (round-4 ADVICE)
+    import pyspark.sql.functions as F
+
+    rules = _rules(spark, BODY)
+    u = spark.createDataFrame(
+        [("https://h.example/private/a", "caller-host")],
+        "url string, host string",
+    )
+    out = robots_allowed(u, rules)
+    assert out.columns.count("host") == 1
+    (row,) = out.select(F.col("host"), F.col("allowed")).collect()
+    assert row["host"] == "caller-host"
+    assert row["allowed"] is False
+
+
 def test_sitemap_locs(spark):
     xml = (
         '<?xml version="1.0"?><urlset><url><loc> https://a/1 </loc>'

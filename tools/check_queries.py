@@ -1,9 +1,18 @@
 """Local driver-mimic: run every queries() entry on Spark and its
 oracle_sql() on DuckDB, compare row count + column names + order-insensitive
-values. Usage: python tools/check_queries.py [sf_dir] [query ...]"""
+values.
+
+Usage: python tools/check_queries.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a machine-readable per-query result map. The driver's
+CORRECTNESS attestation caps at 50 queries per round; committing
+CHECK_FULL_r{N}.json (this tool, full catalog) each round keeps the
+rows outside that window machine-attested (round-4 VERDICT task 3)."""
 
 from __future__ import annotations
 
+import datetime
+import json
 import math
 import os
 import sys
@@ -39,8 +48,14 @@ def canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark(master="local[8]", app_name="check-queries")
     con = duckdb.connect()
     for t in TABLES:
@@ -53,15 +68,20 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        def fail(msg: str, **extra) -> None:
+            failures.append(name)
+            results[name] = {"pass": False, "detail": msg[:400], **extra}
+            print(f"FAIL {name}: {msg[:400]}")
+
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            fail(f"spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {"pass": True, "mode": "rows-only", "rows": len(srows)}
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
@@ -69,25 +89,40 @@ def main() -> int:
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            fail(f"duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if sorted(scols) != sorted(dcols):
-            failures.append(name)
-            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            fail(f"columns {sorted(scols)} vs {sorted(dcols)}")
             continue
         if len(srows) != len(drows):
-            failures.append(name)
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            fail(f"rowcount {len(srows)} vs {len(drows)}")
             continue
         cs, cd = canon(srows, scols), canon(drows, dcols)
         if cs != cd:
-            failures.append(name)
             diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-            print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+            fail(f"value mismatch; first diffs: {diff}")
             continue
+        results[name] = {"pass": True, "mode": "oracle", "rows": len(srows)}
         print(f"PASS {name} ({len(srows)} rows)")
     spark.stop()
+    if json_out:
+        n_pass = sum(1 for r in results.values() if r["pass"])
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "ts": datetime.datetime.now().isoformat(timespec="seconds"),
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_pass": n_pass,
+                    "n_fail": len(results) - n_pass,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        print(f"wrote {json_out}: {n_pass}/{len(results)} pass")
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1

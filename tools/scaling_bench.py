@@ -44,10 +44,14 @@ sys.path.insert(0, {repo!r})
 cores, pages_path, n_docs = {cores}, {pages_path!r}, {n_docs}
 # executor-faithful memory model: a real 4N-executor cluster has 4x the
 # total heap of an N-executor one (fixed per-executor memory), so the
-# single local JVM gets 2 GB per simulated core. Measured: heap starvation
-# at 32 threads doubles runtime (GC inversion), see BENCH/BASELINE.md.
+# single local JVM gets a 2 GB-per-simulated-core CEILING (Xmx, lazy
+# growth — heap starvation at 32 threads doubles runtime via GC
+# inversion, so the ceiling matters). PRETOUCH deliberately NOT set:
+# round 5 measured this host supplying first-touch pages at ~40-70 MB/s
+# (a 64 GB pretouch = 15-25 min of startup), so the untimed warm-up run
+# below is what commits the pages the timed run touches — same
+# steady-state, none of the tax. See BENCH/BASELINE.md "heap strategy".
 os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{2 * cores}}g"
-os.environ["SPARK_GRAFT_PRETOUCH"] = "1"
 from llm_document_parser_spark.session import get_spark
 from llm_document_parser_spark.pipeline import extract_pipeline
 
