@@ -98,6 +98,11 @@ _DEMOTED = (
     "warc_roundtrip",
     "registrable_domains",
     "latest_capture_per_url",
+    # round-5 catalog grew to 84 (decontaminate_docs_bloom,
+    # dsir_importance_sample); two more r04-attested rows yield their
+    # slots to keep non-demoted == 50
+    "doc_length_quantiles",
+    "domain_top_terms",
 )
 
 

@@ -152,6 +152,8 @@ def run_curation(
     text_col: str = "extracted_text",
     budget_tokens: int | None = None,
     budget_group: str | None = None,
+    tokenizer: str = "whitespace",
+    encoder_factory=None,
     fail_after_groups: int | None = None,
     **curate_kwargs,
 ) -> dict:
@@ -162,7 +164,15 @@ def run_curation(
     token budget (operators/sampling.py) — surviving documents keep
     verdict ``kept``, the hash-ordered overflow becomes ``budget_out``.
     The cut happens in phase 1, so the verdict table stays the single
-    source of truth and phase-2 resume semantics are unchanged."""
+    source of truth and phase-2 resume semantics are unchanged.
+
+    ``tokenizer`` selects the budget's token DEFINITION: ``whitespace``
+    (portable count, matches the oracle-attested funnel) or ``exact``
+    (true BPE counts via operators/tokenizers.exact_token_counts — what
+    a training run actually consumes). ``exact`` FAILS LOUDLY when no
+    real tokenizer is importable rather than silently substituting the
+    approximation; the two definitions must never mix within one budget.
+    ``encoder_factory`` is the tokenizer seam passthrough (tests)."""
     verdicts_path = output.rstrip("/") + "_verdicts"
     lineage_path = lineage_path or output.rstrip("/") + "_lineage"
     docs = results.filter(
@@ -181,10 +191,26 @@ def run_curation(
                 sample_to_token_budget,
             )
 
+            kept_docs = labeled.filter(F.col("verdict") == "kept")
+            tokens_col = None
+            if tokenizer == "exact":
+                from llm_document_parser_spark.operators.tokenizers import (
+                    exact_token_counts,
+                )
+
+                # raises RuntimeError when tiktoken is absent and no
+                # encoder_factory is injected — by design (see docstring)
+                kept_docs = exact_token_counts(
+                    kept_docs, text_col=text_col, out_col="bpe_tokens",
+                    encoder_factory=encoder_factory,
+                )
+                tokens_col = F.col("bpe_tokens")
+            elif tokenizer != "whitespace":
+                raise ValueError(f"unknown tokenizer: {tokenizer!r}")
             in_budget = sample_to_token_budget(
-                labeled.filter(F.col("verdict") == "kept"),
+                kept_docs,
                 budget_tokens, group_col=budget_group,
-                id_col=id_col, text_col=text_col,
+                id_col=id_col, text_col=text_col, tokens_col=tokens_col,
             ).select(id_col, F.lit(True).alias("in_budget"))
             labeled = labeled.join(in_budget, id_col, "left").withColumn(
                 "verdict",
@@ -261,9 +287,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="deterministic per-group token budget for the kept corpus")
     ap.add_argument("--budget-group", default=None,
                     help="grouping column for --budget-tokens (default: whole corpus)")
+    ap.add_argument("--tokenizer", choices=["whitespace", "exact"],
+                    default="whitespace",
+                    help="token definition for --budget-tokens: 'whitespace' "
+                         "(portable, oracle-attested) or 'exact' (true BPE "
+                         "via tiktoken; fails loudly when not installed)")
     args = ap.parse_args(argv)
 
-    spark = get_spark(app_name="ldp-curate-job")
+    # long batch job: a python worker killed under co-tenant pressure must
+    # cost one task attempt, not the job (see tests/test_worker_resilience.py)
+    spark = get_spark(app_name="ldp-curate-job", task_retries=2)
     results = spark.read.parquet(args.input)
     benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
     report = run_curation(
@@ -276,6 +309,7 @@ def main(argv: list[str] | None = None) -> int:
         benchmark=benchmark, decon_n=args.decon_n,
         c4_min_sentences=args.c4_min_sentences,
         budget_tokens=args.budget_tokens, budget_group=args.budget_group,
+        tokenizer=args.tokenizer,
     )
     print(json.dumps(report))
     # the report file is a local-filesystem convenience; for object-store

@@ -2758,6 +2758,112 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_importance_sample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), t AS (SELECT * FROM toks WHERE token <> ''),
+    raw_c AS (SELECT token, count(*)::DOUBLE AS c_raw FROM t GROUP BY token),
+    tgt_c AS (SELECT token, count(*)::DOUBLE AS c_tgt
+              FROM t WHERE doc_id % 7 < 2 GROUP BY token),
+    vocab AS (
+      SELECT coalesce(raw_c.token, tgt_c.token) AS token,
+             coalesce(c_raw, 0) AS c_raw, coalesce(c_tgt, 0) AS c_tgt
+      FROM raw_c FULL OUTER JOIN tgt_c ON raw_c.token = tgt_c.token),
+    tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt,
+                   count(*)::DOUBLE AS v FROM vocab),
+    ratio AS (
+      SELECT token,
+             ln((c_tgt + 1) / (t_tgt + v)) - ln((c_raw + 1) / (t_raw + v))
+               AS log_ratio
+      FROM vocab, tot),
+    w AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(log_ratio) AS logw
+      FROM t JOIN ratio USING (token) GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, n_tokens, logw,
+             logw - ln(-ln(
+               power(16.0, -7)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * power(16.0, -1)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * power(16.0, -2)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * power(16.0, -3)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * power(16.0, -4)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * power(16.0, -5)
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * power(16.0, -6)
+             )) AS sample_key
+      FROM w)
+    SELECT doc_id, n_tokens, round(logw, 5) AS logw_r,
+           round(sample_key, 5) AS key_r
+    FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/dsir.py): documents whose
+    source-id residue marks them target-domain train the target unigram
+    LM, the whole corpus trains the raw LM, every document is scored by
+    its summed add-1-smoothed log-likelihood ratio, and the kept set is
+    the deterministic Gumbel-top-50 (hash-derived uniforms — the md5
+    digit arithmetic is reproduced digit-for-digit in the oracle, so the
+    SELECTION ITSELF is verified, not just the weights). Two engines
+    must agree on vocab union, smoothing, totals, per-doc sums, the
+    Gumbel transform, and the top-k cut."""
+    from .operators import dsir
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 < 2)
+    weighted = dsir.importance_weights(docs, target)
+    sample = dsir.importance_resample(weighted, 50)
+    return sample.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logw", 5).alias("logw_r"),
+        F.round("sample_key", 5).alias("key_r"),
+    )
+
+
+@query("decontaminate_docs_bloom", _DECON_ORACLE)
+def decontaminate_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-pre-filtered decontamination path (bloom_fpp): corpus
+    grams that can't possibly collide with the benchmark are dropped
+    MAP-SIDE against a broadcast bitmap before the exact join. A Bloom
+    has no false negatives, so this must reproduce decontaminate_docs'
+    oracle EXACTLY — same report, ~fpp of the join probe volume. This is
+    the 10^5-10^6-item-benchmark scale shape (operators/decontaminate.py
+    docstring); the shared oracle attests result-identity."""
+    from .operators import decontaminate as dc
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(F.lower("text"), " "), 1, 12), " "
+        ).alias("btext"),
+    )
+    planted = bench.select(
+        (F.col("bench_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("planted prefix words here "),
+            F.col("btext"),
+            F.lit(" and trailing words after"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return dc.contamination_report(
+        corpus, bench, bench_text_col="btext", n=8, min_hits=1,
+        bloom_fpp=0.001,
+    )
+
+
+@query(
     "token_budget_sample",
     """
     WITH t AS (

@@ -27,15 +27,25 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    task_retries: int | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession tuned for the extraction workload.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster it is supplied by spark-submit and must be left None.
-    """
+
+    ``task_retries``: long batch jobs should pass ≥2 so a task whose
+    python worker dies (co-tenant kill, OOM-killer) is re-attempted
+    instead of failing the job. On a real cluster ``spark.task.maxFailures``
+    already defaults to 4, but LOCAL masters hard-default to 1 attempt —
+    Spark only honors retries locally via the ``local[N,F]`` master string,
+    so this rewrites the master accordingly (see tests/test_worker_resilience.py,
+    which SIGKILLs a live worker mid-job and expects completion)."""
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_GRAFT_CPUS" in os.environ:
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if task_retries is not None and master is not None:
+        master = _with_task_retries(master, task_retries)
     if master is not None:
         builder = builder.master(master)
 
@@ -99,6 +109,10 @@ def get_spark(
         # quieter local runs
         "spark.ui.showConsoleProgress": "false",
     }
+    if task_retries is not None and (master is None or not master.startswith("local")):
+        # cluster mode: the conf is honored (local mode ignores it — the
+        # local[N,F] master rewrite above is the only local knob)
+        conf["spark.task.maxFailures"] = str(task_retries)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -109,9 +123,19 @@ def get_spark(
     return spark
 
 
+def _with_task_retries(master: str, retries: int) -> str:
+    """local[N] → local[N,R] (Spark honors task retries locally ONLY via
+    the master string); explicit local[N,F] and non-local masters pass
+    through untouched."""
+    if master.startswith("local[") and "," not in master:
+        return f"{master[:-1]},{retries}]"
+    return master
+
+
 def _parallelism_hint(master: str | None) -> int:
     if master and master.startswith("local["):
-        inner = master[len("local[") : -1]
+        # local[N] or local[N,maxFailures] — the core count is the first part
+        inner = master[len("local[") : -1].split(",")[0]
         if inner == "*":
             return os.cpu_count() or 8
         try:

@@ -114,6 +114,71 @@ def test_curation_token_budget(spark, tmp_path):
     assert sum(kept_toks) - max(kept_toks) < 200 <= sum(kept_toks)
 
 
+def test_curation_exact_tokenizer_fails_loudly_without_tiktoken(spark, tmp_path):
+    """--tokenizer exact must raise (not silently fall back to the
+    whitespace approximation) when no real tokenizer is importable —
+    mixing token definitions inside one budget is the failure mode this
+    guards (operators/tokenizers.py)."""
+    from llm_document_parser_spark.operators import tokenizers
+
+    assert not tokenizers.tiktoken_available()  # sandbox precondition
+    with pytest.raises(RuntimeError, match="tiktoken"):
+        run_curation(
+            spark, _corpus(spark), str(tmp_path / "never"), num_buckets=4,
+            min_quality=0.0, threshold=0.9,
+            budget_tokens=200, tokenizer="exact",
+        )
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        run_curation(
+            spark, _corpus(spark), str(tmp_path / "never2"), num_buckets=4,
+            min_quality=0.0, threshold=0.9,
+            budget_tokens=200, tokenizer="bogus",
+        )
+
+
+def test_curation_exact_tokenizer_budget_via_seam(spark, tmp_path):
+    """--tokenizer exact with an injected encoder (the tokenizer seam):
+    the budget cut must be computed on the ENCODER's counts, not the
+    whitespace count. The stand-in encoder splits letter/digit runs, so
+    'a1b2' is 4 BPE tokens but 1 whitespace token — a budget sized in
+    BPE tokens must cut earlier than the whitespace path would."""
+    from llm_document_parser_spark.operators.tokenizers import RegexStandInEncoder
+
+    # punctuation-rich corpus: every 'well-known' style word is 1
+    # whitespace token but 3 encoder tokens, so the two definitions
+    # diverge ~2x and the budget cut MUST move
+    words = ("alpha-bridge castle's delta/engine forest, garden; harbor "
+             "island-jungle kettle! lantern? meadow needle's orchard")
+    rows = [
+        (f"https://ex.com/q{i}",
+         f"the well-known story (no. {i}) of this doc: "
+         + " and the ".join(words.split()[i % 5:]))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "url string, extracted_text string")
+    out_ws = str(tmp_path / "ws")
+    out_ex = str(tmp_path / "ex")
+    # threshold 0.99: docs differing by their number stay distinct, so the
+    # budget (not near-dup collapse) is what differentiates the two paths
+    kw = dict(num_buckets=4, min_quality=0.0, threshold=0.99, budget_tokens=200)
+    rep_ws = run_curation(spark, docs, out_ws, job_id="tw", **kw)
+    rep_ex = run_curation(
+        spark, docs, out_ex, job_id="te", tokenizer="exact",
+        encoder_factory=RegexStandInEncoder, **kw,
+    )
+    # same cascade, same budget number, ~2x bigger per-doc counts under
+    # the encoder definition → the exact path keeps strictly fewer docs
+    assert rep_ex["funnel"]["kept"] < rep_ws["funnel"]["kept"]
+    assert rep_ex["funnel"]["budget_out"] > rep_ws["funnel"].get("budget_out", 0)
+    # and the achieved budget is audited in ENCODER tokens
+    enc = RegexStandInEncoder()
+    kept_tok = [
+        len(enc.encode(r["extracted_text"]))
+        for r in spark.read.parquet(out_ex).collect()
+    ]
+    assert sum(kept_tok) - max(kept_tok) < 200 <= sum(kept_tok)
+
+
 def test_curation_resume_after_kill(spark, tmp_path):
     """The kept-corpus write survives a mid-job kill: phase-1 verdicts are
     reused (committed _SUCCESS table) and phase 2 resumes from the last

@@ -77,6 +77,7 @@ def run_once(
     leg's time is also appended to .data/scaling_legs.jsonl IMMEDIATELY,
     so a later failure never loses an earlier leg's measurement."""
     script = _CHILD.format(repo=REPO, cores=cores, pages_path=pages_path, n_docs=n_docs)
+    load_before = _loadavg()
     out = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True,
@@ -94,11 +95,23 @@ def run_once(
                     "cores": cores,
                     "n_docs": n_docs,
                     "secs": round(secs, 2),
+                    # co-tenant noise adjudication data (same field bench.py
+                    # emits): load BEFORE the leg is the leg's own baseline
+                    "loadavg_before": load_before,
+                    "loadavg_after": _loadavg(),
                 }
             )
             + "\n"
         )
     return secs
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
 
 
 def _burn(n: int) -> float:
