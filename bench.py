@@ -210,6 +210,21 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     per_query["decontaminate_bloom_50k"] = round(time.perf_counter() - t0, 3)
 
+    # --- timed: DSIR importance sampling at width ---
+    # two token groupBys (raw + target LMs), broadcast ratio join, one
+    # per-doc agg, Gumbel-top-k — the corpus text never shuffles
+    from llm_document_parser_spark.operators import dsir
+
+    target50k = docs50k.filter(F.pmod(F.xxhash64("url"), F.lit(7)) < 2)
+    t0 = time.perf_counter()
+    dsir.importance_resample(
+        dsir.importance_weights(
+            docs50k, target50k, id_col="url", text_col="extracted_text"
+        ),
+        1000, id_col="url",
+    ).write.format("noop").mode("overwrite").save()
+    per_query["dsir_sample_50k"] = round(time.perf_counter() - t0, 3)
+
     # --- timed: quality/normalization tier at extraction scale ---
     # gopher: all-native array/HOF metrics, zero Python — measures the
     # codegen rule set's per-doc cost. unigram LM: train (explode+groupBy)

@@ -124,6 +124,31 @@ def test_bloom_prefilter_cuts_probe_volume(spark):
     assert n_survived - true_hits <= max(5, int(total * 0.01))
 
 
+def test_bloom_prefilter_keeps_broadcast_join_shape(spark):
+    # the pre-filter must not change the join strategy: corpus grams still
+    # meet the benchmark via a broadcast hash join, and the Bloom probe is
+    # an Arrow-batched filter (no exchange added on the corpus side)
+    out = dc.contamination_report(
+        _docs(spark), _bench(spark), n=8, bloom_fpp=0.001
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # the Bloom probe is the only Python: once on the corpus side, plus a
+    # copy Catalyst legally infers onto the (tiny) bench side through the
+    # equi-join constraint — harmless, every bench gram passes its own
+    # filter by construction
+    assert 1 <= plan.count("ArrowEvalPython") <= 2
+    # and the pre-filter adds ZERO shuffles vs the exact path: the corpus
+    # stream still reaches the join exchange-free
+    exact_plan = (
+        dc.contamination_report(_docs(spark), _bench(spark), n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == exact_plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
 def test_short_docs_and_benchmarks_yield_no_ngrams(spark):
     docs = spark.createDataFrame(
         [("s1", "too short"), ("s2", None)], "doc_id string, text string"
