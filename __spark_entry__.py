@@ -103,6 +103,17 @@ _DEMOTED = (
     # slots to keep non-demoted == 50
     "doc_length_quantiles",
     "domain_top_terms",
+    # ...then to 89 (packed_sequences, greedy_pack_bins,
+    # ccnet_perplexity_buckets, doc_token_chunks, domain_temperature_mix —
+    # all in the window as new); five more r04-attested, unchanged rows
+    # yield their slots
+    "user_sessions",
+    "dhash_hamming_pairs",
+    "duplicate_ngram_fraction",
+    "boilerplate_line_strip",
+    "token_shard_stats",
+    # ...and to 90 (content_block_extract): one more yields
+    "fetch_wave_schedule",
 )
 
 

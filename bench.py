@@ -256,6 +256,35 @@ def main() -> None:
     ).save()
     per_query["nfc_normalize_50k"] = round(time.perf_counter() - t0, 3)
 
+    # --- timed: sequence packing + chunking at extraction scale ---
+    # concat-split: one per-shard window (single Exchange). greedy: one
+    # shuffle to shards, then a per-shard Arrow walk over (id, count)
+    # metadata. chunking: narrow split→sequence→slice, zero shuffles.
+    from llm_document_parser_spark.operators.chunking import chunk_tokens
+    from llm_document_parser_spark.operators.packing import (
+        pack_concat_split,
+        pack_greedy,
+    )
+
+    t0 = time.perf_counter()
+    pack_concat_split(
+        docs50k, seq_len=2048, n_shards=64, id_col="url",
+        text_col="extracted_text",
+    ).write.format("noop").mode("overwrite").save()
+    per_query["pack_concat_split_50k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    pack_greedy(
+        docs50k, seq_len=2048, n_shards=64, id_col="url",
+        text_col="extracted_text",
+    ).write.format("noop").mode("overwrite").save()
+    per_query["pack_greedy_50k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    chunk_tokens(
+        docs50k, chunk_len=256, overlap=32, id_col="url",
+        text_col="extracted_text",
+    ).write.format("noop").mode("overwrite").save()
+    per_query["chunk_tokens_50k"] = round(time.perf_counter() - t0, 3)
+
     # --- timed: link graph + PageRank over the same 50k raw pages ---
     # outlinks come from RAW html (boilerplate stripping removes <a> tags),
     # cast(binary as string) — datagen payloads are UTF-8. Host graph is the
@@ -322,7 +351,7 @@ def main() -> None:
         .where(F.col("p.url").isNotNull())
         .count()
     )
-    assert parsed == N_EXTRACT_DOCS, f"warc frame bug: {parsed}/{N_EXTRACT_DOCS}"
+    assert parsed == dedup_docs, f"warc frame bug: {parsed}/{dedup_docs}"
 
     total = round(extract_secs + sum(per_query.values()), 3)
     print(

@@ -84,6 +84,113 @@ def score_unigram_logprob(
     )
 
 
+def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent token pairs per document: ``(id, w1, w2)``. Empty tokens
+    (runs of spaces) are dropped BEFORE pairing so adjacency matches a
+    whitespace tokenizer's; docs with <2 tokens contribute no pairs."""
+    toks = F.filter(tokens_col(F.col(text_col)), lambda x: x != "")
+    n_m1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n_m1).alias("w1"), F.slice(toks, 2, n_m1).alias("w2")
+    )
+    return df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram model: ``(w1, w2, logp)`` with
+    ``logp = ln(c(w1,w2) / c(w1,·))`` — the conditional next-token
+    probability. Two shuffles at train time (pair counts, then context
+    totals); the scored model is broadcast, so training cost is paid once
+    per corpus. Cap with ``cap_vocab`` (it keeps the top-K rows by logp)
+    before broadcasting a web-scale model."""
+    pairs = _pairs(df.select(F.lit(0).alias("_i"), text_col), "_i", text_col)
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return big.join(ctx, "w1").select(
+        "w1", "w2", F.log(F.col("c12") / F.col("c1")).alias("logp")
+    )
+
+
+def score_interpolated_logprob(
+    df: DataFrame,
+    bigram_lm: DataFrame,
+    unigram_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.9,
+    floor_p: float = 1e-9,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the interpolated
+    model ``p = lam * P(w2|w1) + (1-lam) * P(w2)`` — the CCNet scoring
+    shape with a real conditional model instead of the unigram proxy.
+    Returns ``(id, n_pairs, avg_neg_logp)``; docs with <2 tokens have no
+    pairs and are absent (score them with the unigram path).
+
+    Both model joins are left joins with broadcast (capped models fit in
+    executor memory), so scoring is map-side only: explode → two
+    broadcast-hash joins → one groupBy on the doc id. Unseen bigrams get
+    probability mass only from the unigram term; unseen unigrams fall to
+    ``floor_p``."""
+    pairs = _pairs(df, id_col, text_col)
+    big = F.broadcast(bigram_lm) if broadcast_lm else bigram_lm
+    uni = F.broadcast(unigram_lm) if broadcast_lm else unigram_lm
+    p_big = F.coalesce(F.exp(F.col("logp")), F.lit(0.0))
+    p_uni = F.coalesce(F.exp(F.col("u_logp")), F.lit(float(floor_p)))
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("token").alias("w2"), F.col("logp").alias("u_logp")),
+              "w2", "left")
+        .select(
+            id_col,
+            (-F.log(lam * p_big + (1.0 - lam) * p_uni)).alias("neg_logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("neg_logp"), 6).alias("avg_neg_logp"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "avg_neg_logp",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: within each language, rank documents
+    by LM score and cut into ``n_buckets`` equal tiles (1 = most fluent).
+    One window per language partition — languages are the parallelism
+    unit, exactly how CCNet shards the corpus. Deterministic tie-break on
+    the id keeps the tiling stable across engines and runs."""
+    from pyspark.sql import Window
+
+    labeled = scores.join(docs.select(id_col, lang_col), id_col)
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col(score_col), F.col(id_col).cast("string"))
+    )
+    tile = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(tile == 1, "head")
+        .when(tile == n_buckets, "tail")
+        .otherwise("middle")
+        if n_buckets == 3
+        else tile.cast("string")
+    )
+    return labeled.select(
+        id_col,
+        lang_col,
+        score_col,
+        tile.cast("long").alias("ppl_tile"),
+        label.alias("ppl_bucket"),
+    )
+
+
 def cap_vocab(lm: DataFrame, vocab_limit: int) -> DataFrame:
     """Keep the ``vocab_limit`` highest-probability tokens (ties broken by
     token for determinism) — the broadcastable production model.

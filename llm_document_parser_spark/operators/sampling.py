@@ -225,3 +225,50 @@ def write_token_shards(
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported shard format: {fmt!r}")
+
+
+def domain_temperature_sample(
+    docs: DataFrame,
+    k: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the Pile / multilingual-LM
+    recipe): target ~``k`` documents total, with each domain's quota
+    proportional to ``share(domain) ** alpha``, renormalized. ``alpha=1``
+    keeps natural proportions; ``alpha=0`` is uniform across domains;
+    the usual 0<alpha<1 upsamples the tail relative to the head. Quotas
+    are rounded and capped at the domain's own size (no replacement), so
+    the achieved total can differ from ``k`` by at most one per domain.
+
+    Selection within a domain is the deterministic ``md5(id)`` order used
+    by every sampler in this module — stable across engines, runs and
+    partitionings. Returns the sampled rows as ``(id, group, dom_rank)``.
+
+    Scale shape: one tiny groupBy for the domain table (broadcast back),
+    one window per domain partition for the rank — a single shuffle on
+    the domain key over the corpus; the quota math never touches the
+    driver."""
+    dims = docs.groupBy(group_col).agg(F.count("*").cast("double").alias("n_d"))
+    tot = dims.agg(F.sum("n_d").alias("t"))
+    wts = dims.crossJoin(F.broadcast(tot)).select(
+        group_col, "n_d", F.pow(F.col("n_d") / F.col("t"), float(alpha)).alias("sa")
+    )
+    den = wts.agg(F.sum("sa").alias("d"))
+    quotas = wts.crossJoin(F.broadcast(den)).select(
+        group_col,
+        F.least(
+            F.round(k * F.col("sa") / F.col("d"), 0).cast("long"),
+            F.col("n_d").cast("long"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string")
+    )
+    ranked = docs.select(id_col, group_col).withColumn(
+        "dom_rank", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(quotas), group_col).where(
+        F.col("dom_rank") <= F.col("quota")
+    ).select(id_col, group_col, "dom_rank")

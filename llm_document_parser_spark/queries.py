@@ -4064,3 +4064,317 @@ def domain_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("source", "rnk", "tok", "score")
     )
+
+
+# ===========================================================================
+# sequence packing / chunking / LM buckets / domain mixing (round 5)
+# ===========================================================================
+
+# the md5-derived shard used by the packing plan, as SQL (first 4 hex
+# digits of the order key — same bytes both engines)
+_SHARD8_SQL = (
+    "CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+    " % 8 AS BIGINT)"
+)
+
+
+@query(
+    "packed_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord,
+             {_SHARD8_SQL} AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY ord, CAST(doc_id AS VARCHAR)
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_tok,
+           CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / 256.0) AS BIGINT) AS seq_last,
+           CASE WHEN floor((cum - 1) / 256.0)
+                     > floor((cum - n_tokens) / 256.0)
+                THEN 1 ELSE 0 END AS crosses_boundary
+    FROM c
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan (operators/packing.py): every
+    document placed in the concatenated token stream of its md5 shard,
+    cut into 256-token training sequences. The engine computes placement
+    with one per-shard window (no global serial stage); the oracle
+    replays the identical order and running sum as SQL windows — start
+    offsets, first/last sequence ids and the boundary-crossing flag must
+    match per document."""
+    from .operators.packing import pack_concat_split
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_concat_split(d, seq_len=256, n_shards=8)
+
+
+@query(
+    "greedy_pack_bins",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord,
+             {_SHARD8_SQL} AS shard
+      FROM documents
+    ), t AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord, CAST(doc_id AS VARCHAR)) AS rn
+      FROM base
+    ), walk AS (
+      SELECT shard, rn, n_tokens, n_tokens AS fill, CAST(0 AS BIGINT) AS bin_id
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.n_tokens,
+             CASE WHEN w.fill + t.n_tokens > 200
+                  THEN t.n_tokens ELSE w.fill + t.n_tokens END,
+             CASE WHEN w.fill + t.n_tokens > 200
+                  THEN w.bin_id + 1 ELSE w.bin_id END
+      FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1
+    )
+    SELECT shard, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(sum(n_tokens) / 200.0, 6) AS utilization
+    FROM walk GROUP BY 1, 2
+    """,
+)
+def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing audit (operators/packing.py pack_greedy):
+    documents walk their shard in deterministic order, a 200-token bin
+    closes when the next document would overflow it. The engine's
+    per-shard Arrow walk must produce bins identical to the oracle's
+    recursive-CTE replay of the same rule — bin membership counts, token
+    fills and utilization all match."""
+    from .operators.packing import greedy_bin_stats, pack_greedy
+
+    d = _t(spark, sf_dir, "documents")
+    return greedy_bin_stats(pack_greedy(d, seq_len=200, n_shards=8), seq_len=200)
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+      FROM toks WHERE len(l) >= 2
+    ), uni AS (
+      SELECT token, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT unnest(l) AS token FROM toks) GROUP BY token
+    ), tot AS (SELECT sum(c) AS s FROM uni),
+    ulm AS (SELECT token, ln(c / s) AS logp FROM uni, tot),
+    big AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+    blm AS (SELECT w1, w2, ln(c12 / c1) AS logp FROM big JOIN ctx USING (w1)),
+    scored AS (
+      SELECT p.doc_id,
+             -ln(0.9 * coalesce(exp(b.logp), 0.0)
+                 + (1.0 - 0.9) * coalesce(exp(u.logp), 1e-9)) AS nlp
+      FROM pairs p
+      LEFT JOIN blm b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN ulm u ON p.w2 = u.token
+    ), agg AS (
+      SELECT doc_id, round(avg(nlp), 6) AS avg_neg_logp FROM scored GROUP BY 1
+    )
+    SELECT a.doc_id, d.lang, a.avg_neg_logp,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY a.avg_neg_logp,
+                                        CAST(a.doc_id AS VARCHAR)) AS BIGINT)
+             AS ppl_tile,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY a.avg_neg_logp,
+                                        CAST(a.doc_id AS VARCHAR))
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
+             AS ppl_bucket
+    FROM agg a JOIN documents d USING (doc_id)
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-quality tiering with a real conditional model: train a
+    bigram LM + unigram backoff over the corpus, score every document by
+    interpolated mean negative log-probability (lam=0.9), then cut each
+    language into head/middle/tail terciles (operators/lm.py). Both
+    engines independently train the same models from the same tokens and
+    must agree on every document's score (6 dp) and tercile."""
+    from .operators.lm import (
+        perplexity_buckets,
+        score_interpolated_logprob,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scores = score_interpolated_logprob(
+        d, train_bigram_lm(d, "text"), train_unigram_lm(d, "text"),
+        lam=0.9, floor_p=1e-9,
+    ).drop("n_pairs")
+    return perplexity_buckets(scores, d, "doc_id", "lang")
+
+
+@query(
+    "doc_token_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ), n AS (
+      SELECT doc_id, l,
+             CASE WHEN len(l) <= 40 THEN 1
+                  ELSE CAST(ceil((len(l) - 40) / 30.0) AS BIGINT) + 1 END
+               AS n_chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id, l, unnest(range(0, n_chunks)) AS chunk_id FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 30 AS BIGINT) AS start_tok,
+           CAST(len(l[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(l[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' '))
+             AS chunk_digest
+    FROM c
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking for embedding/RAG indexing
+    (operators/chunking.py): 40-token chunks with 10-token overlap,
+    narrow per-row plan (split → sequence explode → slice), zero
+    shuffles. The md5 digest of every chunk's joined text must match the
+    oracle's list-slice replay — covering boundaries, the short final
+    chunk and single-chunk documents."""
+    from .operators.chunking import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_tokens(d, chunk_len=40, overlap=10)
+
+
+@query(
+    "domain_temperature_mix",
+    r"""
+    WITH dims AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n_d FROM documents GROUP BY lang
+    ), tot AS (SELECT sum(n_d) AS t FROM dims),
+    wts AS (SELECT lang, n_d, pow(n_d / t, 0.5) AS sa FROM dims, tot),
+    den AS (SELECT sum(sa) AS d FROM wts),
+    q AS (
+      SELECT lang,
+             least(CAST(round(200 * sa / d, 0) AS BIGINT), CAST(n_d AS BIGINT))
+               AS quota
+      FROM wts, den
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+             ) AS BIGINT) AS dom_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, dom_rank
+    FROM r JOIN q USING (lang) WHERE dom_rank <= quota
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (operators/sampling.py
+    domain_temperature_sample): ~200 documents drawn across languages
+    with quota proportional to share(lang)**0.5 — the standard recipe for
+    upsampling tail domains/languages in a training mixture. Quota math
+    runs on the tiny domain table (broadcast back); selection is the
+    deterministic md5 order, so both engines pick the identical rows."""
+    from .operators.sampling import domain_temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_temperature_sample(d, k=200, alpha=0.5, group_col="lang")
+
+
+@query(
+    "content_block_extract",
+    r"""
+    WITH built AS (
+      SELECT doc_id,
+        '<nav><a href="/">Home</a> <a href="/about">About us page</a> '
+        || '<a href="/contact">Contact</a></nav>'
+        || '<p>' || substr(text, 1, 150) || '</p>'
+        || '<p>' || substr(text, 80, 150) || ' see <a href="/doc/'
+        || doc_id || '">doc ' || doc_id || '</a></p>'
+        || '<footer>(c) 2024 ' || source || '</footer>' AS h
+      FROM documents
+    ), blocks AS (
+      SELECT doc_id, i - 1 AS block_idx, parts[i] AS raw
+      FROM (
+        SELECT doc_id,
+               string_split_regex(h,
+                 '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|table|thead|tbody|tr|td'
+                 || '|th|section|article|aside|header|footer|nav|blockquote'
+                 || '|pre|form|br|hr)\b[^>]*>') AS parts
+        FROM built
+      ), unnest(range(1, len(parts) + 1)) AS u(i)
+    ), scored AS (
+      SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+        CAST(length(trim(regexp_replace(regexp_replace(raw,
+          '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars,
+        CAST(coalesce(list_sum(list_transform(
+          regexp_extract_all(raw, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+          a -> length(trim(regexp_replace(regexp_replace(a,
+            '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0) AS BIGINT)
+          AS link_chars,
+        md5(trim(regexp_replace(regexp_replace(raw,
+          '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS text_digest
+      FROM blocks
+    )
+    SELECT doc_id, block_idx, n_chars, link_chars,
+      CASE WHEN n_chars > 0 THEN round(link_chars / n_chars, 6)
+           ELSE 0.0 END AS link_density,
+      CASE WHEN n_chars >= 30 AND link_chars <= 0.4 * n_chars
+           THEN 1 ELSE 0 END AS kept,
+      text_digest
+    FROM scored
+    """,
+)
+def content_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style main-content extraction (operators/content.py): both
+    engines synthesize the same page — a link-dense nav, two long content
+    paragraphs (the second with an inline anchor), a short footer — split
+    it at block-tag boundaries with the same RE2-portable pattern, and
+    score every block by visible-text length and anchor-text share. Block
+    indexes, char counts, densities, keep verdicts and the md5 of each
+    block's normalized text must all match; the nav and footer must be
+    dropped and both paragraphs kept."""
+    from .operators.content import content_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<nav><a href="/">Home</a> <a href="/about">About us page'
+                '</a> <a href="/contact">Contact</a></nav>'
+            ),
+            F.lit("<p>"), F.substring("text", 1, 150), F.lit("</p>"),
+            F.lit("<p>"), F.substring("text", 80, 150),
+            F.lit(' see <a href="/doc/'), did, F.lit('">doc '), did,
+            F.lit("</a></p>"),
+            F.lit("<footer>(c) 2024 "), F.col("source"), F.lit("</footer>"),
+        ).alias("h"),
+    )
+    blocks = content_blocks(
+        pages, url_col="doc_id", html_col="h",
+        min_chars=30, max_link_density=0.4,
+    )
+    return blocks.select(
+        "doc_id", "block_idx", "n_chars", "link_chars", "link_density",
+        "kept", F.md5("block_text").alias("text_digest"),
+    )

@@ -81,3 +81,116 @@ def test_scoring_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# bigram LM + interpolated scoring + CCNet buckets (round 5)
+# ---------------------------------------------------------------------------
+
+from llm_document_parser_spark.operators.lm import (  # noqa: E402
+    perplexity_buckets,
+    score_interpolated_logprob,
+    train_bigram_lm,
+)
+
+
+def test_bigram_hand_values(spark):
+    # corpus pairs: d1: (a,a),(a,b); d2: (a,c)
+    # c(a,·)=3 → p(a|a)=1/3, p(b|a)=1/3, p(c|a)=1/3
+    df = _corpus(spark)
+    lm = train_bigram_lm(df, "text")
+    got = {(r["w1"], r["w2"]): r["logp"] for r in lm.collect()}
+    assert got == {
+        ("a", "a"): math.log(1 / 3),
+        ("a", "b"): math.log(1 / 3),
+        ("a", "c"): math.log(1 / 3),
+    }
+
+
+def test_interpolated_score_hand_values(spark):
+    df = _corpus(spark)
+    big = train_bigram_lm(df, "text")
+    uni = train_unigram_lm(df, "text")
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_neg_logp"])
+        for r in score_interpolated_logprob(df, big, uni, lam=0.5).collect()
+    }
+    # unigram probs: a=3/5, b=1/5, c=1/5; every pair p(w2|w1)=1/3
+    def nlp(pu):
+        return -math.log(0.5 * (1 / 3) + 0.5 * pu)
+
+    d1 = round((nlp(3 / 5) + nlp(1 / 5)) / 2, 6)
+    d2 = round(nlp(1 / 5), 6)
+    assert got == {"d1": (2, d1), "d2": (1, d2)}
+
+
+def test_interpolated_oov_falls_to_floor(spark):
+    train = _corpus(spark)
+    big = train_bigram_lm(train, "text")
+    uni = train_unigram_lm(train, "text")
+    unseen = spark.createDataFrame([("dx", "q r")], ["doc_id", "text"])
+    row = score_interpolated_logprob(
+        unseen, big, uni, lam=0.5, floor_p=1e-9
+    ).first()
+    # pair (q,r): no bigram, no unigram → p = 0.5 * 1e-9
+    assert row["avg_neg_logp"] == round(-math.log(0.5 * 1e-9), 6)
+
+
+def test_short_docs_produce_no_pairs(spark):
+    df = spark.createDataFrame(
+        [("one", "solo"), ("two", "a b")], ["doc_id", "text"]
+    )
+    big = train_bigram_lm(df, "text")
+    uni = train_unigram_lm(df, "text")
+    ids = {
+        r["doc_id"] for r in score_interpolated_logprob(df, big, uni).collect()
+    }
+    assert ids == {"two"}
+
+
+def test_perplexity_buckets_tercile_labels(spark):
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)], "doc_id long, avg_neg_logp double"
+    )
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(1, 10)], "doc_id long, lang string"
+    )
+    got = {
+        r["doc_id"]: (r["ppl_tile"], r["ppl_bucket"])
+        for r in perplexity_buckets(scores, docs).collect()
+    }
+    assert got == {
+        1: (1, "head"), 2: (1, "head"), 3: (1, "head"),
+        4: (2, "middle"), 5: (2, "middle"), 6: (2, "middle"),
+        7: (3, "tail"), 8: (3, "tail"), 9: (3, "tail"),
+    }
+
+
+def test_buckets_partition_per_language(spark):
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 9.0)],
+        "doc_id long, avg_neg_logp double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en"), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scores, docs).collect()
+    }
+    # fr has a single doc: its own tercile 1 → head, regardless of score
+    assert got[4] == "head"
+    assert got[1] == "head" and got[2] == "middle" and got[3] == "tail"
+
+
+def test_interpolated_scoring_is_map_side(spark):
+    """Scoring joins must be broadcast: no shuffle Exchange between the
+    scan and the final per-doc aggregation's own exchange."""
+    df = _corpus(spark)
+    plan = score_interpolated_logprob(
+        df, train_bigram_lm(df, "text"), train_unigram_lm(df, "text")
+    )
+    physical = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical

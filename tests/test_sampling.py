@@ -187,3 +187,73 @@ def test_write_token_shards_layout(spark, tmp_path):
     }
     got = {r["doc_id"]: r["shard_id"] for r in back.collect()}
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixing (round 5)
+# ---------------------------------------------------------------------------
+
+from llm_document_parser_spark.operators.sampling import (  # noqa: E402
+    domain_temperature_sample,
+)
+
+
+def _skewed(spark):
+    rows = [(i, "big") for i in range(80)] + [
+        (100 + i, "small") for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_quotas(spark):
+    import math
+
+    df = _skewed(spark)
+    got = domain_temperature_sample(df, k=50, alpha=0.5).collect()
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    sa_big, sa_small = math.sqrt(0.8), math.sqrt(0.2)
+    d = sa_big + sa_small
+    assert per["big"] == round(50 * sa_big / d)    # 33
+    assert per["small"] == round(50 * sa_small / d)  # 17
+    # alpha=1 keeps natural proportions
+    per1 = {}
+    for r in domain_temperature_sample(df, k=50, alpha=1.0).collect():
+        per1[r["source"]] = per1.get(r["source"], 0) + 1
+    assert per1 == {"big": 40, "small": 10}
+
+
+def test_temperature_zero_is_uniform_and_caps_at_group_size(spark):
+    df = _skewed(spark)
+    per = {}
+    for r in domain_temperature_sample(df, k=60, alpha=0.0).collect():
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    # uniform quota 30/30, but 'small' only has 20 docs → capped
+    assert per == {"big": 30, "small": 20}
+
+
+def test_temperature_selection_is_deterministic_md5_order(spark):
+    import hashlib
+
+    df = _skewed(spark)
+    got = sorted(
+        r["doc_id"]
+        for r in domain_temperature_sample(df, k=50, alpha=0.5).collect()
+        if r["source"] == "small"
+    )
+    ids = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), str(i))
+        for i in range(100, 120)
+    )
+    expect = sorted(int(i) for _, i in ids[:17])
+    assert got == expect
+    # partitioning-invariant
+    again = sorted(
+        r["doc_id"]
+        for r in domain_temperature_sample(
+            df.repartition(7), k=50, alpha=0.5
+        ).collect()
+        if r["source"] == "small"
+    )
+    assert got == again
