@@ -101,9 +101,9 @@ def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def train_bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus bigram model: ``(w1, w2, logp)`` with
     ``logp = ln(c(w1,w2) / c(w1,·))`` — the conditional next-token
-    probability. Two shuffles at train time (pair counts, then context
-    totals); the scored model is broadcast, so training cost is paid once
-    per corpus. Cap with ``cap_vocab`` (it keeps the top-K rows by logp)
+    probability. Training shuffles three times (pair counts, context
+    totals, and the w1 join aligning them); the scored model is broadcast,
+    so training cost is paid once per corpus. Cap with ``cap_vocab`` (it keeps the top-K rows by logp)
     before broadcasting a web-scale model."""
     pairs = _pairs(df.select(F.lit(0).alias("_i"), text_col), "_i", text_col)
     big = pairs.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))

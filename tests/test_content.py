@@ -40,7 +40,10 @@ def test_block_scores_and_verdicts(spark):
     assert kept_texts[0] == _LONG.strip()
     assert kept_texts[1].endswith("see details")
     nav = next(r for r in u1 if "Home" in r["block_text"])
-    assert nav["kept"] == 0 and nav["link_chars"] == nav["n_chars"]
+    # inter-anchor whitespace is visible but not anchor text, so
+    # link_chars is one short of n_chars; density still far over 0.4
+    assert nav["kept"] == 0 and nav["link_density"] > 0.4
+    assert nav["link_chars"] == nav["n_chars"] - 1
     footer = next(r for r in u1 if "(c) site" in r["block_text"])
     assert footer["kept"] == 0 and footer["n_chars"] < 30
     # u2: single short block dropped

@@ -185,12 +185,19 @@ def test_buckets_partition_per_language(spark):
 
 
 def test_interpolated_scoring_is_map_side(spark):
-    """Scoring joins must be broadcast: no shuffle Exchange between the
-    scan and the final per-doc aggregation's own exchange."""
+    """Both MODEL joins on the scoring path must be broadcast (the corpus
+    pairs never shuffle); the training subtree below the broadcast
+    exchanges may legitimately shuffle/sort-merge on w1."""
     df = _corpus(spark)
     plan = score_interpolated_logprob(
         df, train_bigram_lm(df, "text"), train_unigram_lm(df, "text")
     )
     physical = plan._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in physical
-    assert "SortMergeJoin" not in physical
+    assert physical.count("BroadcastHashJoin") == 2, physical
+    # the scoring side above the broadcast builds is shuffle-free: the only
+    # non-broadcast exchange touching doc_id is the final per-doc agg's own
+    scoring_exchanges = [
+        ln for ln in physical.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert len(scoring_exchanges) == 1, physical
