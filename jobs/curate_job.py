@@ -155,6 +155,8 @@ def run_curation(
     tokenizer: str = "whitespace",
     encoder_factory=None,
     fail_after_groups: int | None = None,
+    pack_seq_len: int | None = None,
+    pack_shards: int = 64,
     **curate_kwargs,
 ) -> dict:
     """Resumable two-phase curation (see module docstring). Returns the
@@ -172,7 +174,16 @@ def run_curation(
     a training run actually consumes). ``exact`` FAILS LOUDLY when no
     real tokenizer is importable rather than silently substituting the
     approximation; the two definitions must never mix within one budget.
-    ``encoder_factory`` is the tokenizer seam passthrough (tests)."""
+    ``encoder_factory`` is the tokenizer seam passthrough (tests).
+
+    ``pack_seq_len`` additionally writes a GPT-style sequence-packing plan
+    (operators/packing.pack_concat_split) over the curated output to
+    ``<output>_packplan`` — each kept document's shard, token offset and
+    sequence span for ``pack_seq_len``-token training sequences — and adds
+    per-shard packing stats to the report. Runs after phase 2 from the
+    committed output, so it is deterministic and safe to recompute on a
+    resumed job; uses the same token definition selected by
+    ``tokenizer``."""
     verdicts_path = output.rstrip("/") + "_verdicts"
     lineage_path = lineage_path or output.rstrip("/") + "_lineage"
     docs = results.filter(
@@ -245,13 +256,58 @@ def run_curation(
         r["verdict"]: r["n"]
         for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
     }
-    return {
+    report = {
         "job_id": job_id,
         "n_input": int(sum(funnel.values())),
         "funnel": funnel,
         "kept_rows": lineage.committed_row_total(spark, lineage_path, job_id),
         "output": output,
     }
+
+    if pack_seq_len:
+        from llm_document_parser_spark.operators.packing import (
+            pack_concat_split,
+            packing_stats,
+        )
+
+        kept_corpus = spark.read.parquet(output)
+        tokens_col = None
+        if tokenizer == "exact":
+            from llm_document_parser_spark.operators.tokenizers import (
+                exact_token_counts,
+            )
+
+            kept_corpus = exact_token_counts(
+                kept_corpus, text_col=text_col, out_col="bpe_tokens",
+                encoder_factory=encoder_factory,
+            )
+            tokens_col = F.col("bpe_tokens")
+        plan = pack_concat_split(
+            kept_corpus, seq_len=pack_seq_len, n_shards=pack_shards,
+            id_col=id_col, text_col=text_col, tokens_col=tokens_col,
+        )
+        plan.write.mode("overwrite").parquet(output.rstrip("/") + "_packplan")
+        stats = packing_stats(
+            spark.read.parquet(output.rstrip("/") + "_packplan"), pack_seq_len
+        ).agg(
+            F.sum("n_docs").alias("docs"),
+            F.sum("shard_tokens").alias("tokens"),
+            F.sum("n_sequences").alias("sequences"),
+            F.round(
+                F.sum(F.col("boundary_cross_frac") * F.col("n_docs"))
+                / F.sum("n_docs"), 6,
+            ).alias("boundary_cross_frac"),
+        ).first()
+        report["packing"] = {
+            "seq_len": pack_seq_len,
+            "shards": pack_shards,
+            "docs": int(stats["docs"] or 0),
+            "tokens": int(stats["tokens"] or 0),
+            "sequences": int(stats["sequences"] or 0),
+            "boundary_cross_frac": float(stats["boundary_cross_frac"] or 0.0),
+            "plan_path": output.rstrip("/") + "_packplan",
+        }
+    return report
 
 
 def _has_uri_scheme(path: str) -> bool:
@@ -292,6 +348,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="token definition for --budget-tokens: 'whitespace' "
                          "(portable, oracle-attested) or 'exact' (true BPE "
                          "via tiktoken; fails loudly when not installed)")
+    ap.add_argument("--pack-seq-len", type=int, default=None,
+                    help="also write a GPT-style sequence-packing plan over "
+                         "the curated output (<output>_packplan) for this "
+                         "training sequence length")
+    ap.add_argument("--pack-shards", type=int, default=64,
+                    help="deterministic md5 shards for the packing plan")
     args = ap.parse_args(argv)
 
     # long batch job: a python worker killed under co-tenant pressure must
@@ -310,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
         c4_min_sentences=args.c4_min_sentences,
         budget_tokens=args.budget_tokens, budget_group=args.budget_group,
         tokenizer=args.tokenizer,
+        pack_seq_len=args.pack_seq_len, pack_shards=args.pack_shards,
     )
     print(json.dumps(report))
     # the report file is a local-filesystem convenience; for object-store

@@ -241,3 +241,29 @@ def test_curate_c4_gate(spark):
     _, labeled_off = curate(docs, min_quality=0.0, threshold=0.99)
     off = {r["url"]: r["verdict"] for r in labeled_off.collect()}
     assert off["u2"] == "kept" and off["u4"] == "kept"
+
+
+def test_curation_pack_plan(spark, tmp_path):
+    """--pack-seq-len: a packing plan over the curated output lands at
+    <output>_packplan, covers exactly the kept documents, and the report's
+    packing stats agree with the plan."""
+    docs = _corpus(spark)
+    out = str(tmp_path / "packed")
+    report = run_curation(
+        spark, docs, out, job_id="p1", num_buckets=4,
+        min_quality=0.0, threshold=0.9, pack_seq_len=64, pack_shards=4,
+    )
+    pk = report["packing"]
+    assert pk["seq_len"] == 64 and pk["shards"] == 4
+    plan = spark.read.parquet(out + "_packplan")
+    kept_urls = {r["url"] for r in spark.read.parquet(out).collect()}
+    plan_rows = plan.collect()
+    assert {r["url"] for r in plan_rows} == kept_urls
+    assert pk["docs"] == len(plan_rows) == report["funnel"]["kept"]
+    assert pk["tokens"] == sum(r["n_tokens"] for r in plan_rows)
+    # sequence accounting: per shard ceil(tokens/seq_len), summed
+    per_shard: dict[int, int] = {}
+    for r in plan_rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["n_tokens"]
+    assert pk["sequences"] == sum(-(-t // 64) for t in per_shard.values())
+    assert 0.0 <= pk["boundary_cross_frac"] <= 1.0
