@@ -26,16 +26,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# executor-faithful heap ceiling: 2 GB per core (Xmx only, LAZY growth).
-# Round 4 pre-touched the whole heap (SPARK_GRAFT_PRETOUCH=1) after
-# measuring lazy growth as 80-90% kernel time at 32 threads; round 5
-# measured the same host supplying first-touch pages at ~40-70 MB/s
-# (hypervisor-throttled, THP doesn't help), making a 64 GB pretouch a
-# 15-25 MINUTE startup tax — see BENCH/BASELINE.md "heap strategy".
-# Lazy + the untimed warm-up runs below gets the same steady-state: the
-# warm-up faults in every page the timed run will touch.
+# Heap sizing (measured, round 5 — see BENCH/BASELINE.md "heap strategy"):
+# this host supplies first-touch pages at ~40-70 MB/s (hypervisor
+# throttled), so BOTH big-heap strategies lose: pre-touching 64 GB is a
+# 15-25 MINUTE startup tax, and a 64 GB *lazy* Xmx is worse in a subtler
+# way — G1 prefers heap EXPANSION over collection while far below Xmx, so
+# allocation-heavy legs keep growing into throttled first-touch pages and
+# get SLOWER run over run (measured: minhash_candidates_50k 22 s → 60 s
+# → 49 s at Xmx=64g vs 10.7 s cold → 3.6 s steady at Xmx=16g). The heap
+# must be sized so G1 RECYCLES committed pages instead of expanding:
+# 16 GB covers every sf0.1 leg with zero spill and matches a realistic
+# 4-8-core executor's heap. Override via SPARK_GRAFT_DRIVER_MEM.
 _CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{2 * _CPUS}g")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 # measured batch sweep at 1M pages (BENCH/BASELINE.md): 8192-row Arrow
 # batches cut extract wall-clock ~15% vs the 2048 default on this
 # small-payload corpus (~1-2 KB/page → ~16 MB/batch). The library default
@@ -136,13 +139,24 @@ def main() -> None:
     extract_secs = min(extract_runs)
     docs_per_sec = N_EXTRACT_DOCS / extract_secs
 
-    # --- timed: catalog queries ---
-    per_query: dict[str, float] = {}
+    # --- timed legs: registered here, executed in TWO full passes below,
+    # min-of-two reported (same estimator as the extract runs: co-tenant
+    # noise and lazy-heap growth only ever INFLATE a leg, so min is the
+    # best estimator of the engine's true cost; the first pass doubles as
+    # the heap/JIT warm-up for the second).
+    legs: list[tuple[str, object]] = []
+
+    def add_leg(name, fn) -> None:
+        legs.append((name, fn))
+
     for name in BENCH_QUERIES:
-        fn = REGISTRY[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        add_leg(
+            name,
+            lambda fn=REGISTRY[name]: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     # --- timed: near-dup dedup at extraction scale (50k extracted docs) ---
     # The catalog dedup queries run on ≤100-doc slices (oracle-sized); this
@@ -167,18 +181,20 @@ def main() -> None:
         ).write.parquet(dedup_input),
     )
     docs50k = spark.read.parquet(dedup_input)
-    t0 = time.perf_counter()
-    dedup.minhash_candidate_pairs(
-        docs50k, id_col="url", text_col="extracted_text",
-        num_hashes=64, bands=8, hash_fn="fast",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["minhash_candidates_50k"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    dedup.verified_near_dup_pairs(
-        docs50k, id_col="url", text_col="extracted_text",
-        num_hashes=64, bands=8, threshold=0.7, hash_fn="fast",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["verified_near_dups_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "minhash_candidates_50k",
+        lambda: dedup.minhash_candidate_pairs(
+            docs50k, id_col="url", text_col="extracted_text",
+            num_hashes=64, bands=8, hash_fn="fast",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "verified_near_dups_50k",
+        lambda: dedup.verified_near_dup_pairs(
+            docs50k, id_col="url", text_col="extracted_text",
+            num_hashes=64, bands=8, threshold=0.7, hash_fn="fast",
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: benchmark decontamination at extraction scale ---
     # 500 eval items (12-word prefixes of the sf documents) against the
@@ -192,23 +208,25 @@ def main() -> None:
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 12), " ").alias("text"),
     )
-    t0 = time.perf_counter()
-    dc.contamination_report(
-        docs50k, bench_items, id_col="url", text_col="extracted_text", n=8
-    ).write.format("noop").mode("overwrite").save()
-    per_query["decontaminate_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "decontaminate_50k",
+        lambda: dc.contamination_report(
+            docs50k, bench_items, id_col="url", text_col="extracted_text", n=8
+        ).write.format("noop").mode("overwrite").save(),
+    )
     # same report through the Bloom pre-filter (result identical by
     # construction — no false negatives; see operators/decontaminate.py).
     # At this 500-item benchmark the broadcast gram table is already tiny,
     # so this leg measures the pre-filter's OVERHEAD floor; its win
     # appears at 10^5-10^6-item benchmarks where the gram table stops
     # being broadcastable and only the bitmap ships.
-    t0 = time.perf_counter()
-    dc.contamination_report(
-        docs50k, bench_items, id_col="url", text_col="extracted_text", n=8,
-        bloom_fpp=0.001,
-    ).write.format("noop").mode("overwrite").save()
-    per_query["decontaminate_bloom_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "decontaminate_bloom_50k",
+        lambda: dc.contamination_report(
+            docs50k, bench_items, id_col="url", text_col="extracted_text",
+            n=8, bloom_fpp=0.001,
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: DSIR importance sampling at width ---
     # two token groupBys (raw + target LMs), broadcast ratio join, one
@@ -216,14 +234,15 @@ def main() -> None:
     from llm_document_parser_spark.operators import dsir
 
     target50k = docs50k.filter(F.pmod(F.xxhash64("url"), F.lit(7)) < 2)
-    t0 = time.perf_counter()
-    dsir.importance_resample(
-        dsir.importance_weights(
-            docs50k, target50k, id_col="url", text_col="extracted_text"
-        ),
-        1000, id_col="url",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["dsir_sample_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "dsir_sample_50k",
+        lambda: dsir.importance_resample(
+            dsir.importance_weights(
+                docs50k, target50k, id_col="url", text_col="extracted_text"
+            ),
+            1000, id_col="url",
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: quality/normalization tier at extraction scale ---
     # gopher: all-native array/HOF metrics, zero Python — measures the
@@ -237,24 +256,24 @@ def main() -> None:
     from llm_document_parser_spark.operators.normalize import nfc_normalize_text
     from llm_document_parser_spark.operators.textstats import gopher_quality
 
-    t0 = time.perf_counter()
-    gopher_quality(
-        docs50k, id_col="url", text_col="extracted_text", min_words=5
-    ).write.format("noop").mode("overwrite").save()
-    per_query["gopher_quality_50k"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    lm50 = train_unigram_lm(docs50k, "extracted_text")
-    score_unigram_logprob(
-        docs50k, lm50, id_col="url", text_col="extracted_text"
-    ).write.format("noop").mode("overwrite").save()
-    per_query["unigram_lm_50k"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    nfc_normalize_text(docs50k, "extracted_text").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    per_query["nfc_normalize_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "gopher_quality_50k",
+        lambda: gopher_quality(
+            docs50k, id_col="url", text_col="extracted_text", min_words=5
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "unigram_lm_50k",
+        lambda: score_unigram_logprob(
+            docs50k, train_unigram_lm(docs50k, "extracted_text"),
+            id_col="url", text_col="extracted_text",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "nfc_normalize_50k",
+        lambda: nfc_normalize_text(docs50k, "extracted_text")
+        .write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: sequence packing + chunking at extraction scale ---
     # concat-split: one per-shard window (single Exchange). greedy: one
@@ -266,24 +285,27 @@ def main() -> None:
         pack_greedy,
     )
 
-    t0 = time.perf_counter()
-    pack_concat_split(
-        docs50k, seq_len=2048, n_shards=64, id_col="url",
-        text_col="extracted_text",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["pack_concat_split_50k"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    pack_greedy(
-        docs50k, seq_len=2048, n_shards=64, id_col="url",
-        text_col="extracted_text",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["pack_greedy_50k"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    chunk_tokens(
-        docs50k, chunk_len=256, overlap=32, id_col="url",
-        text_col="extracted_text",
-    ).write.format("noop").mode("overwrite").save()
-    per_query["chunk_tokens_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "pack_concat_split_50k",
+        lambda: pack_concat_split(
+            docs50k, seq_len=2048, n_shards=64, id_col="url",
+            text_col="extracted_text",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "pack_greedy_50k",
+        lambda: pack_greedy(
+            docs50k, seq_len=2048, n_shards=64, id_col="url",
+            text_col="extracted_text",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "chunk_tokens_50k",
+        lambda: chunk_tokens(
+            docs50k, chunk_len=256, overlap=32, id_col="url",
+            text_col="extracted_text",
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: link graph + PageRank over the same 50k raw pages ---
     # outlinks come from RAW html (boilerplate stripping removes <a> tags),
@@ -295,15 +317,16 @@ def main() -> None:
     pages_raw = spark.read.parquet(dedup_pages).select(
         "url", F.col("html").cast("string").alias("html_text")
     )
-    t0 = time.perf_counter()
     host_edges = links.host_link_graph(links.extract_outlinks(pages_raw))
-    host_edges.write.format("noop").mode("overwrite").save()
-    per_query["outlinks_hostgraph_50k"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    links.pagerank(host_edges, iterations=3).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    per_query["host_pagerank_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "outlinks_hostgraph_50k",
+        lambda: host_edges.write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "host_pagerank_50k",
+        lambda: links.pagerank(host_edges, iterations=3)
+        .write.format("noop").mode("overwrite").save(),
+    )
 
     # --- timed: WARC record parse at width (Arrow-batched Python parser) ---
     from llm_document_parser_spark.warc import parse_warc_record_udf
@@ -338,11 +361,22 @@ def main() -> None:
         ),
         "UTF-8",
     )
-    t0 = time.perf_counter()
-    pages_raw.select(parse_warc_record_udf(warc_bytes).alias("p")).select(
-        "p.url", "p.warc_ts"
-    ).write.format("noop").mode("overwrite").save()
-    per_query["warc_parse_50k"] = round(time.perf_counter() - t0, 3)
+    add_leg(
+        "warc_parse_50k",
+        lambda: pages_raw.select(parse_warc_record_udf(warc_bytes).alias("p"))
+        .select("p.url", "p.warc_ts")
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # --- execute: two full passes over every leg, min reported ---
+    query_runs: dict[str, list[float]] = {name: [] for name, _ in legs}
+    for _trial in range(2):
+        for name, fn in legs:
+            t0 = time.perf_counter()
+            fn()
+            query_runs[name].append(round(time.perf_counter() - t0, 3))
+    per_query = {name: min(r) for name, r in query_runs.items()}
+
     # untimed sanity: every synthesized record must actually parse (a
     # framing bug makes iter_warc_records skip records silently, and the
     # timing above would then measure the skip path)
@@ -353,7 +387,9 @@ def main() -> None:
     )
     assert parsed == dedup_docs, f"warc frame bug: {parsed}/{dedup_docs}"
 
-    total = round(extract_secs + sum(per_query.values()), 3)
+    total = round(
+        extract_secs + sum(sum(r) for r in query_runs.values()), 3
+    )
     print(
         json.dumps(
             {
@@ -361,6 +397,7 @@ def main() -> None:
                 "value": round(docs_per_sec, 1),
                 "unit": "docs/sec",
                 "queries": per_query,
+                "query_runs": query_runs,
                 "sf": sf_dir.rstrip("/").split("sf")[-1],
                 "cpus": cpus,
                 "extract": {
