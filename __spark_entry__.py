@@ -114,6 +114,13 @@ _DEMOTED = (
     "token_shard_stats",
     # ...and to 90 (content_block_extract): one more yields
     "fetch_wave_schedule",
+    # ...and to 93 (dup_span_removal, cluster_keep_best, bm25_relevance —
+    # new, stay in the window); three more r04-attested, unchanged rows
+    # yield their slots (robots/charset/anchor/funnel/decon rows stay in:
+    # their operators changed this round)
+    "c4_clean_docs",
+    "domain_token_share",
+    "extract_synthetic_pages",
 )
 
 

@@ -761,3 +761,129 @@ def duplicate_ngram_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span REMOVAL (the rewrite counterpart of
+    the ``duplicate_ngram_fraction`` signal): every span of ``n``
+    consecutive whitespace tokens that occurs ``min_count``-or-more times
+    across the corpus (including repeats inside one document — Lee et al.
+    2022's ExactSubstr convention: all occurrences go, byte-exact and
+    case-sensitive) is cut from the document; overlapping and adjacent
+    duplicated spans are merged before cutting so a long duplicated
+    passage disappears as one region.
+
+    Returns ``(id, clean_text, n_tokens, n_removed)`` for every input row
+    (documents shorter than ``n`` tokens pass through unchanged).
+
+    The published implementation builds a corpus suffix array — a
+    fundamentally sequential index. This is the distributed restatement:
+
+    1. one ``posexplode`` of per-doc gram digests (position == gram start);
+    2. one count agg on the digest, keeping digests seen ≥ ``min_count``;
+    3. join occurrences back (equi-join on the digest, uniform hash);
+    4. per-doc island merge: ascending starts + fixed span length make a
+       span mergeable iff ``start - prev_start <= n``, so lag + running
+       sum inside ONE doc-keyed window produces merged intervals;
+    5. rebuild: token ``i`` survives iff no merged interval covers it —
+       a native two-arg ``filter`` over the token array against the
+       collected (tiny) per-doc interval list; no second explode.
+
+    Everything shuffles on doc id or digest — no all-pairs stage, no
+    driver state; skew-safe because a gram in 10^7 docs is one count row.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("_rid"), toks.alias("_tk"))
+    ntk = F.size("_tk")
+    starts = F.when(ntk >= n, F.sequence(F.lit(0), ntk - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    digests = F.transform(
+        starts,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, n))),
+    )
+    occ = base.select(
+        "_rid", F.posexplode(digests).alias("_s", "_dig")
+    )
+    dup_digs = (
+        occ.groupBy("_dig")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_dig")
+    )
+    w = Window.partitionBy("_rid").orderBy("_s")
+    islands = (
+        occ.join(dup_digs, "_dig")
+        .select("_rid", "_s")
+        .withColumn("_prev", F.lag("_s").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_s") - F.col("_prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+    )
+    intervals = (
+        islands.groupBy("_rid", "_isl")
+        .agg(F.min("_s").alias("_a"), (F.max("_s") + n).alias("_b"))
+        .groupBy("_rid")
+        .agg(F.collect_list(F.struct("_a", "_b")).alias("_ivs"))
+    )
+    ivs = F.coalesce(
+        F.col("_ivs"), F.array().cast("array<struct<_a:int,_b:int>>")
+    )
+    kept = F.filter(
+        F.col("_tk"),
+        lambda t, i: ~F.exists(
+            ivs, lambda v: (i >= v["_a"]) & (i < v["_b"])
+        ),
+    )
+    return (
+        base.join(intervals, "_rid", "left")
+        .select(
+            F.col("_rid").alias(id_col),
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("_tk").cast("long").alias("n_tokens"),
+            (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection over any cluster assignment
+    (near-dup clusters, exact-dup groups, url captures): within each
+    cluster the HIGHEST-``score_col`` member wins, smallest id breaking
+    ties — upgrading ``near_dup_clusters``'s keep-smallest-id convention
+    to keep-best-quality, the RefinedWeb/FineWeb practice of retaining
+    the best-scoring representative instead of an arbitrary one.
+
+    Returns the input id/cluster/score columns plus ``keep_id`` (the
+    cluster's winner) and boolean ``keep``. One doc-cluster-keyed window,
+    single Exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return df.select(
+        id_col,
+        cluster_col,
+        score_col,
+        F.first(id_col).over(w).alias("keep_id"),
+    ).withColumn("keep", F.col(id_col) == F.col("keep_id"))

@@ -221,3 +221,76 @@ def date_range(results: DataFrame) -> DataFrame:
         F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
         F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query: str,
+    k: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the inverted token index — the
+    length-normalized upgrade of ``quick_search``'s raw-tf scoring (the
+    standard Lucene/Elasticsearch practical default; Robertson & Walker
+    1994). Returns ``(doc_id, bm25, n_terms_matched)`` for every document
+    matching ≥1 query term, highest score first (``doc_id`` tie-break);
+    ``k`` limits to the top-k (None = all matches, the oracle-stable
+    configuration — a rounded near-tie at the k boundary is the only
+    nondeterminism BM25 has).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene's non-negative form)
+    w   = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Scale shape: doc lengths are one groupBy of the index (or reuse a
+    materialized lengths table); (N, avgdl) is a broadcast 1-row corpus
+    aggregate; per-term document frequencies are a broadcast agg of the
+    term-pruned postings only. The corpus-wide work is index construction
+    — scoring touches only the query terms' posting lists, exactly the
+    partitions a token-partitioned index layout prunes to.
+    """
+    if index is None:
+        index = build_token_index(df, id_col=id_col, text_col=text_col)
+    terms = tokenize_query(query)
+    if not terms:
+        terms = ["--no-terms--"]  # analyzer tokens are [a-z0-9]+; never equal
+    dl = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs_total"), F.avg("dl").alias("avgdl")
+    )
+    postings = index.filter(F.col("token").isin(terms))
+    dfreq = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs_total") - F.col("dfreq") + 0.5)
+                / (F.col("dfreq") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_w"), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+    )
+    return scored.limit(k) if k is not None else scored

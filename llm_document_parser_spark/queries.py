@@ -4378,3 +4378,168 @@ def content_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "block_idx", "n_chars", "link_chars", "link_density",
         "kept", F.md5("block_text").alias("text_digest"),
     )
+
+
+# ===========================================================================
+# round 5: exact-substring span removal, quality-aware cluster
+# representatives, BM25 ranked retrieval
+# ===========================================================================
+
+
+@query(
+    "dup_span_removal",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM all_docs),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(tk) - 4, 0))) AS s,
+             unnest(list_transform(range(0, greatest(len(tk) - 4, 0)),
+                    i -> md5(array_to_string(tk[i+1:i+5], ' ')))) AS dig
+      FROM tok
+    ),
+    dup AS (SELECT dig FROM occ GROUP BY dig HAVING count(*) >= 2),
+    docc AS (SELECT o.doc_id, o.s FROM occ o JOIN dup USING (dig)),
+    lagd AS (
+      SELECT doc_id, s,
+             lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      FROM docc
+    ),
+    isl AS (
+      SELECT doc_id, s,
+             sum(CASE WHEN prev IS NULL OR s - prev > 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS g
+      FROM lagd
+    ),
+    iv AS (SELECT doc_id, min(s) AS a, max(s) + 5 AS b
+           FROM isl GROUP BY doc_id, g),
+    pos AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS i, unnest(tk) AS tokn
+      FROM tok
+    ),
+    keep AS (
+      SELECT p.doc_id, p.i, p.tokn FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv v
+        WHERE v.doc_id = p.doc_id AND p.i >= v.a AND p.i < v.b)
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tokn, ' ' ORDER BY i) AS clean_text,
+             count(*) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM tok t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span removal (dedup.remove_duplicate_spans,
+    Lee et al. 2022 ExactSubstr restated distributively) over the
+    planted-duplicate corpus: every 5-token span occurring twice-or-more
+    corpus-wide is cut, overlapping spans merged first. Cloned documents
+    (and their originals) must strip to empty; natural 5-gram overlap in
+    unique documents is cut identically by both engines — token counts,
+    removed counts and the md5 of every rewritten document value-for-value
+    against the oracle's window-island restatement of the same algorithm."""
+    out = dedup.remove_duplicate_spans(
+        _docs_with_exact_dups(spark, sf_dir), n=5, min_count=2
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@query(
+    "cluster_keep_best",
+    """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    ),
+    c AS (
+      SELECT doc_id, md5(text) AS cluster,
+             CAST(doc_id % 7 AS DOUBLE) AS score
+      FROM all_docs
+    )
+    SELECT doc_id, cluster, score,
+           first_value(doc_id) OVER
+             (PARTITION BY cluster ORDER BY score DESC, doc_id) AS keep_id,
+           doc_id = first_value(doc_id) OVER
+             (PARTITION BY cluster ORDER BY score DESC, doc_id) AS keep
+    FROM c
+    """,
+)
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (dedup.cluster_representatives):
+    documents clustered by exact content digest, scored by a synthetic
+    quality that VARIES within each planted cluster (doc_id % 7 — the
+    clone's shifted id draws a different score than its original, so the
+    argmax is exercised, not just the tie-break), highest score kept.
+    tests/test_dedup_ids.py composes the same operator with REAL
+    near_dup_clusters output and quality_score."""
+    d = _docs_with_exact_dups(spark, sf_dir)
+    clustered = d.select(
+        "doc_id",
+        F.md5("text").alias("cluster"),
+        (F.col("doc_id") % 7).cast("double").alias("score"),
+    )
+    return dedup.cluster_representatives(clustered)
+
+
+_BM25_TERMS = ("spark", "hash", "shuffle")
+
+
+@query(
+    "bm25_relevance",
+    f"""
+    WITH toks AS (
+      SELECT 'doc://' || doc_id AS doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+      WHERE length(t) > 0 AND t NOT IN ({_QS_STOPWORDS_SQL})),
+    idx AS (
+      SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY token, doc_id),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM idx GROUP BY doc_id),
+    corpus AS (SELECT count(*) AS n_total, avg(dl) AS avgdl FROM dl),
+    p AS (SELECT * FROM idx
+          WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS dfreq
+              FROM p GROUP BY token)
+    SELECT p.doc_id,
+           round(sum(
+             ln(1 + (c.n_total - f.dfreq + 0.5) / (f.dfreq + 0.5))
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / c.avgdl))
+           ), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM p
+    JOIN dfreq f USING (token)
+    JOIN dl d USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY p.doc_id
+    """,
+)
+def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (search.bm25_scores) over the document
+    corpus: both engines build the same analyzer/index, compute Lucene's
+    non-negative idf and the k1=1.2/b=0.75 length-normalized term weight
+    independently, 6-decimal score match per matching document. Unlimited
+    (k=None) so the result set is closed-form — top-k ORDERING is pinned
+    by tests/test_search_bm25.py instead, where near-tie rounding can't
+    flip set membership."""
+    from .operators.search import bm25_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("extracted_text"),
+    )
+    return bm25_scores(d, " ".join(_BM25_TERMS))
