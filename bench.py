@@ -244,6 +244,30 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: exact-substring span removal at width ---
+    # the heaviest new round-5 operator: posexplode of every 10-gram digest
+    # (xxhash64 longs — the production hash mode, ~4x less shuffle than the
+    # oracle's md5 strings), corpus count, island merge, HOF rebuild
+    add_leg(
+        "dup_span_removal_50k",
+        lambda: dedup.remove_duplicate_spans(
+            docs50k, id_col="url", text_col="extracted_text",
+            n=10, min_count=2, hash_fn="fast",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
+    # --- timed: BM25 ranked retrieval at width ---
+    # index build dominates (explode + groupBy over all tokens); scoring
+    # itself touches only the query terms' postings
+    from llm_document_parser_spark.operators.search import bm25_scores
+
+    add_leg(
+        "bm25_retrieval_50k",
+        lambda: bm25_scores(
+            docs50k, "invoice payment contract total", k=100,
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # --- timed: quality/normalization tier at extraction scale ---
     # gopher: all-native array/HOF metrics, zero Python — measures the
     # codegen rule set's per-doc cost. unigram LM: train (explode+groupBy)

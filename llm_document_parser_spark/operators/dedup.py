@@ -769,6 +769,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     n: int = 10,
     min_count: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact-substring duplicate-span REMOVAL (the rewrite counterpart of
     the ``duplicate_ngram_fraction`` signal): every span of ``n``
@@ -797,9 +798,17 @@ def remove_duplicate_spans(
 
     Everything shuffles on doc id or digest — no all-pairs stage, no
     driver state; skew-safe because a gram in 10^7 docs is one count row.
+
+    ``hash_fn``: "md5" (default — DuckDB-reproducible, the oracle mode) or
+    "fast" (xxhash64 — 8-byte long digests instead of 32-char strings,
+    ~4× less gram-shuffle volume; the production mode, same convention as
+    ``minhash_candidate_pairs``). Semantics are identical up to digest
+    collisions (~N²/2⁶⁴ — negligible below 10⁹ distinct grams; shard the
+    corpus before that point regardless).
     """
     from pyspark.sql import Window
 
+    digest = F.md5 if hash_fn == "md5" else F.xxhash64
     toks = F.split(F.col(text_col), " ")
     base = df.select(F.col(id_col).alias("_rid"), toks.alias("_tk"))
     ntk = F.size("_tk")
@@ -808,7 +817,7 @@ def remove_duplicate_spans(
     )
     digests = F.transform(
         starts,
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, n))),
+        lambda i: digest(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, n))),
     )
     occ = base.select(
         "_rid", F.posexplode(digests).alias("_s", "_dig")

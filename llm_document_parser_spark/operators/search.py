@@ -294,3 +294,145 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
     )
     return scored.limit(k) if k is not None else scored
+
+
+def parse_text_query(q: str) -> tuple[list[str], list[list[str]], list[str]]:
+    """Mongo ``$text $search`` grammar (reference passes user input straight
+    through: src/search_engine.py:131): quoted substrings are mandatory
+    phrases, ``-term`` negates, everything else is an OR'd loose term.
+    Returns ``(loose_terms, phrases, negated_terms)`` — all analyzer-
+    normalized; phrases are token lists (empty/stopword-only ones dropped)."""
+    phrases = [
+        toks
+        for p in re.findall(r'"([^"]*)"', q)
+        if (toks := tokenize_query(p))
+    ]
+    rest = re.sub(r'"[^"]*"', " ", q)
+    negated: list[str] = []
+    loose: list[str] = []
+    for raw in rest.split():
+        target = negated if raw.startswith("-") else loose
+        target.extend(tokenize_query(raw.lstrip("-")))
+    return list(dict.fromkeys(loose)), phrases, list(dict.fromkeys(negated))
+
+
+def _phrase_occurrences(toks: Column, phrase: list[str]) -> Column:
+    """LONG: contiguous occurrences of ``phrase`` in the token array —
+    a narrow per-row HOF scan, no shuffle, no explode."""
+    p = len(phrase)
+    lit = F.array(*[F.lit(t) for t in phrase])
+    starts = F.when(
+        F.size(toks) >= p, F.sequence(F.lit(0), F.size(toks) - p)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.size(
+        F.filter(starts, lambda i: F.slice(toks, i + 1, p) == lit)
+    ).cast("long")
+
+
+def phrase_search(
+    df: DataFrame,
+    query: str,
+    limit: int | None = None,
+    id_col: str = "url",
+    text_col: str = "extracted_text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Full Mongo ``$text`` query semantics over the corpus — the part of
+    the reference's search surface ``quick_search``/``bm25_scores`` don't
+    cover (reference: src/search_engine.py:131 hands the raw user string to
+    ``$text``, whose grammar includes ``"exact phrase"`` and ``-negation``):
+
+    * a document matches iff it contains EVERY quoted phrase contiguously,
+      contains NO negated term, and (when loose terms exist alongside no
+      phrase, or in addition to phrases with zero occurrences impossible)
+      matches ≥1 loose term when the query has no phrases;
+    * score = Σ tf(loose terms) + Σ (occurrences × phrase length) — each
+      phrase hit credits all its tokens, the textScore analog under this
+      engine's deterministic analyzer (lowercase [a-z0-9]+, stopwords
+      dropped, no stemming — the documented quick_search deviation; a
+      phrase therefore matches on the stopword-stripped token stream).
+
+    Scale shape: candidate pruning never scans the corpus for phrases —
+    docs holding ALL of a phrase's terms come from the inverted index
+    (filter on the phrase's terms → per-doc distinct-term count), loose/
+    negated membership from the same index, and only the surviving
+    candidate ids semijoin back to the corpus for the narrow per-row
+    contiguity verify (Mongo's own index-then-verify strategy). Every join
+    keys on doc_id; phrase verification is HOF-only.
+
+    Returns ``(doc_id, score, n_phrase_hits)`` ordered by score desc,
+    doc_id asc; ``limit=None`` returns all matches (the oracle-stable
+    configuration).
+    """
+    if index is None:
+        index = build_token_index(df, id_col=id_col, text_col=text_col)
+    loose, phrases, negated = parse_text_query(query)
+
+    toks_needed = sorted(
+        {t for p in phrases for t in p} | set(loose) | set(negated)
+    )
+    if not toks_needed:
+        toks_needed = ["--no-terms--"]  # analyzer tokens can never equal
+    postings = index.filter(F.col("token").isin(toks_needed))
+
+    # loose-term score per doc (0 rows for docs with no loose hits)
+    if loose:
+        loose_scores = (
+            postings.filter(F.col("token").isin(loose))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("loose_score"))
+        )
+    else:
+        loose_scores = None
+
+    # candidates: all-phrase-terms docs (or loose matchers when no phrase)
+    if phrases:
+        phrase_terms = sorted({t for p in phrases for t in p})
+        cands = (
+            postings.filter(F.col("token").isin(phrase_terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("token").alias("_nt"))
+            .filter(F.col("_nt") >= len(phrase_terms))
+            .select("doc_id")
+        )
+    elif loose_scores is not None:
+        cands = loose_scores.select("doc_id")
+    else:
+        cands = index.select("doc_id").distinct().limit(0)
+
+    if negated:
+        neg_docs = (
+            postings.filter(F.col("token").isin(negated))
+            .select("doc_id")
+            .distinct()
+        )
+        cands = cands.join(neg_docs, "doc_id", "left_anti")
+
+    matched = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_col(F.col(text_col)).alias("_tk"),
+    ).join(cands, "doc_id")
+
+    phrase_score = F.lit(0).cast("long")
+    n_hits = F.lit(0).cast("long")
+    keep = F.lit(True)
+    for p in phrases:
+        occ = _phrase_occurrences(F.col("_tk"), p)
+        keep = keep & (occ > 0)
+        phrase_score = phrase_score + occ * len(p)
+        n_hits = n_hits + occ
+    scored = matched.filter(keep).select(
+        "doc_id",
+        phrase_score.alias("_ps"),
+        n_hits.alias("n_phrase_hits"),
+    )
+    if loose_scores is not None:
+        scored = scored.join(loose_scores, "doc_id", "left")
+    else:
+        scored = scored.withColumn("loose_score", F.lit(None).cast("long"))
+    out = scored.select(
+        "doc_id",
+        (F.col("_ps") + F.coalesce("loose_score", F.lit(0))).alias("score"),
+        "n_phrase_hits",
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return out.limit(limit) if limit is not None else out

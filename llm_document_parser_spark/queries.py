@@ -4543,3 +4543,46 @@ def bm25_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("extracted_text"),
     )
     return bm25_scores(d, " ".join(_BM25_TERMS))
+
+
+@query(
+    "phrase_search_hits",
+    f"""
+    WITH tok AS (
+      SELECT 'doc://' || doc_id AS doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> length(t) > 0
+                              AND t NOT IN ({_QS_STOPWORDS_SQL})) AS tk
+      FROM documents),
+    verified AS (
+      SELECT doc_id, tk,
+             len(list_filter(range(0, greatest(len(tk) - 1, 0)),
+                 i -> tk[i+1:i+2] = ['table', 'part'])) AS occ
+      FROM tok
+      WHERE list_contains(tk, 'table') AND list_contains(tk, 'part')
+            AND NOT list_contains(tk, 'vector')),
+    loose AS (
+      SELECT doc_id, len(list_filter(tk, t -> t = 'spark')) AS ls
+      FROM tok)
+    SELECT v.doc_id,
+           CAST(v.occ * 2 + l.ls AS BIGINT) AS score,
+           CAST(v.occ AS BIGINT) AS n_phrase_hits
+    FROM verified v JOIN loose l USING (doc_id)
+    WHERE v.occ > 0
+    """,
+)
+def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo $text grammar (search.phrase_search — quoted phrase AND,
+    -term negation, loose OR scoring; reference src/search_engine.py:131
+    passes the raw user string into $text): the query
+    '"table part" spark -vector' must return exactly the documents whose
+    stopword-stripped token stream contains ['table','part'] contiguously
+    and never 'vector', scored occurrences*2 + tf('spark'), value-for-value
+    against the oracle's list-slice contiguity restatement."""
+    from .operators.search import phrase_search
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.col("text").alias("extracted_text"),
+    )
+    return phrase_search(d, '"table part" spark -vector')

@@ -123,6 +123,26 @@ def test_plan_has_no_cartesian_or_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_fast_hash_mode_matches_md5_mode(spark):
+    # xxhash64 production digests produce the identical rewrite (collision
+    # odds at test scale are 0 for all practical purposes)
+    corpus = {
+        1: f"one two three {DUP} four five six",
+        2: f"{DUP} seven eight nine ten eleven twelve",
+        3: "unique tokens only here nothing shared at all",
+        4: f"x1 x2 {DUP} x3 {DUP} x4",
+    }
+    assert _run(spark, corpus) == {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_duplicate_spans(
+            spark.createDataFrame(list(corpus.items()), ["doc_id", "text"]),
+            n=5,
+            min_count=2,
+            hash_fn="fast",
+        ).collect()
+    }
+
+
 def test_cluster_representatives_argmax_and_ties(spark):
     rows = [
         (1, "a", 0.5),
