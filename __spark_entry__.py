@@ -125,6 +125,10 @@ _DEMOTED = (
     # checks the same extraction pipeline every round regardless, and the
     # byte-parity pytest is the stronger oracle for it
     "extract_docs_as_pages",
+    # ...and to 95 (leakage_safe_splits): one more yields — the funnel
+    # body is unchanged since r3, r04-attested, and its bench leg runs
+    # every round regardless
+    "curation_funnel",
 )
 
 

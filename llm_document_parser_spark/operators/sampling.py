@@ -272,3 +272,54 @@ def domain_temperature_sample(
     return ranked.join(F.broadcast(quotas), group_col).where(
         F.col("dom_rank") <= F.col("quota")
     ).select(id_col, group_col, "dom_rank")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    host_col: str = "host",
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with NO domain leakage: every document of
+    one registrable domain lands in the SAME split (evaluation on val/test
+    otherwise measures memorized near-duplicates of train pages from the
+    same site — templated sites make plain random splits dishonest).
+
+    The unit of assignment is the PSL registrable domain
+    (urls.with_registrable_domain; hosts that resolve to NULL — bare
+    labels, IPs, public suffixes themselves — fall back to the raw host
+    so they still group consistently). Assignment is a deterministic hash,
+    not an RNG: bucket = first 4 md5 hex digits of (salt + key) / 65536,
+    mapped onto the cumulative ``fractions`` boundaries — stable across
+    runs, engines and cluster sizes, re-saltable for a fresh split.
+
+    Scale shape: domain resolution is the existing distinct-host join
+    (bounded by |hosts|, not |docs|); the split itself is pure
+    expressions — zero additional shuffle. Fractions hold in expectation
+    over DOMAINS (not documents: one huge domain lands wholly in one
+    split by design — that is the point).
+    """
+    total = sum(f for _, f in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from .urls import with_registrable_domain
+
+    out = with_registrable_domain(df, host_col=host_col)
+    key = F.coalesce(F.col("registrable_domain"), F.col(host_col))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 4), 16, 10
+    ).cast("int")
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        cond = bucket < int(round(cum * 65536))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = fractions[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return out.withColumn(out_col, expr)

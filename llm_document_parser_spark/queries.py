@@ -4586,3 +4586,75 @@ def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("extracted_text"),
     )
     return phrase_search(d, '"table part" spark -vector')
+
+
+@query(
+    "leakage_safe_splits",
+    f"""
+    WITH hosts AS (
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'www.' || source || '.example.com'
+          WHEN 1 THEN source || '.github.io'
+          WHEN 2 THEN 'a.b.' || source || '.github.io'
+          WHEN 3 THEN source || '.co.uk'
+          WHEN 4 THEN 'blog.' || source || '.co.uk'
+          WHEN 5 THEN source || '.internal'
+          WHEN 6 THEN 'github.io'
+          ELSE 'localhost' END AS host
+      FROM documents
+    ), sfx(s, n) AS (
+      VALUES {_PSL_VALUES}
+    ), m AS (
+      SELECT h.doc_id, h.host, coalesce(max(sfx.n), 1) AS sn
+      FROM hosts h LEFT JOIN sfx
+        ON (h.host = sfx.s OR h.host LIKE '%.' || sfx.s)
+      GROUP BY h.doc_id, h.host
+    ), rd AS (
+      SELECT doc_id, host,
+        CASE WHEN len(string_split(host, '.')) > sn
+             THEN array_to_string(
+                    list_slice(string_split(host, '.'),
+                               len(string_split(host, '.')) - sn,
+                               len(string_split(host, '.'))), '.')
+        END AS registrable_domain
+      FROM m
+    ), b AS (
+      SELECT *,
+        CAST(('0x' || substr(md5(coalesce(registrable_domain, host)), 1, 4))
+             AS INTEGER) AS bucket
+      FROM rd
+    )
+    SELECT doc_id, host, registrable_domain,
+           CASE WHEN bucket < 58982 THEN 'train'
+                WHEN bucket < 62259 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-grouped train/val/test assignment
+    (sampling.leakage_safe_split): both engines resolve the PSL
+    registrable domain over every interesting host shape, hash the
+    coalesced group key identically (first 4 md5 hex digits as the
+    bucket) and map the same 0.9/0.05/0.05 boundaries — assignment
+    value-for-value, so the no-domain-straddles-splits invariant holds by
+    construction (also asserted directly in tests/test_split.py)."""
+    from .operators.sampling import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src = F.col("source")
+    host = (
+        F.when(did % 8 == 0, F.concat(F.lit("www."), src, F.lit(".example.com")))
+        .when(did % 8 == 1, F.concat(src, F.lit(".github.io")))
+        .when(did % 8 == 2, F.concat(F.lit("a.b."), src, F.lit(".github.io")))
+        .when(did % 8 == 3, F.concat(src, F.lit(".co.uk")))
+        .when(did % 8 == 4, F.concat(F.lit("blog."), src, F.lit(".co.uk")))
+        .when(did % 8 == 5, F.concat(src, F.lit(".internal")))
+        .when(did % 8 == 6, F.lit("github.io"))
+        .otherwise(F.lit("localhost"))
+    )
+    return leakage_safe_split(
+        d.select("doc_id", host.alias("host"))
+    ).select("doc_id", "host", "registrable_domain", "split")

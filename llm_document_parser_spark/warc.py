@@ -364,3 +364,104 @@ def write_warc_file(
             f.write(
                 _gzip.compress(rec, mtime=0) if gzip_members else rec
             )
+
+
+WARC_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int | None = None,
+    gzip_members: bool = True,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    body_col: str = "html",
+    content_type_col: str | None = "content_type",
+) -> DataFrame:
+    """Distributed WARC export — the sink twin of ``load_warc_dir``: each
+    partition streams its rows through ``build_warc_record`` into ONE
+    ``part-NNNNN.warc[.gz]`` file under ``out_dir`` and emits a manifest
+    row ``(shard, n_records, n_bytes)``; empty partitions write nothing.
+    ``gzip_members=True`` writes Common-Crawl-style per-member gzip (the
+    format ``iter_warc_records``/CC tooling expect); records inside a
+    shard are url-ordered, so the same (input, partitioning) reproduces
+    byte-identical shards (record ids are crc32-of-url, not uuids).
+
+    The returned manifest is the ACTION — it is lazy; ``.collect()`` or
+    write it to run the export. Scale shape: no shuffle beyond the
+    optional ``n_shards`` repartition (round-robin for even shard sizes);
+    one Python stage per shard streaming row-by-row — a shard is never
+    materialized in memory. Writes go through ``open()`` — local or any
+    executor-mounted filesystem (NFS/fuse); object stores would route the
+    same bytes through an fsspec filesystem seam.
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    cols = [
+        F.col(url_col).alias("url"),
+        F.date_format(ts_col, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
+        F.col(body_col).cast("binary").alias("body"),
+        (
+            F.coalesce(F.col(content_type_col), F.lit("text/html"))
+            if content_type_col is not None
+            else F.lit("text/html")
+        ).alias("content_type"),
+    ]
+    prepared = df.select(*cols)
+    if n_shards is not None:
+        prepared = prepared.repartition(n_shards)
+    prepared = prepared.sortWithinPartitions("url")
+
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def write_partition(
+        batches: Iterable[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n_records = 0
+        n_bytes = 0
+        f = None
+        try:
+            for pdf in batches:
+                for url, ts, body, ctype in zip(
+                    pdf["url"], pdf["ts"], pdf["body"], pdf["content_type"]
+                ):
+                    if f is None:  # open lazily: empty partition = no file
+                        os.makedirs(out_dir, exist_ok=True)
+                        f = open(path, "wb")
+                    rec = build_warc_record(
+                        str(url),
+                        str(ts),
+                        bytes(body) if body is not None else b"",
+                        content_type=str(ctype),
+                    )
+                    if gzip_members:
+                        rec = _gzip.compress(rec, mtime=0)
+                    f.write(rec)
+                    n_records += 1
+                    n_bytes += len(rec)
+        finally:
+            if f is not None:
+                f.close()
+        if n_records:
+            yield pd.DataFrame(
+                {
+                    "shard": [path],
+                    "n_records": [n_records],
+                    "n_bytes": [n_bytes],
+                }
+            )
+
+    return prepared.mapInPandas(write_partition, schema=WARC_MANIFEST_SCHEMA)
