@@ -129,6 +129,10 @@ _DEMOTED = (
     # body is unchanged since r3, r04-attested, and its bench leg runs
     # every round regardless
     "curation_funnel",
+    # ...and to 96 (semantic_dedup): one more yields — the changed robots
+    # operator stays driver-attested via robots_admission; the frontier
+    # composition keeps its pytest + CHECK_FULL coverage
+    "crawl_frontier",
 )
 
 

@@ -295,3 +295,115 @@ def ivf_topk(
             "score",
         )
     )
+
+
+def centroid_similarity(
+    vec: Column, cell: Column, centroids: list[list[float]]
+) -> Column:
+    """DOUBLE: cosine(vec, centroids[cell]) as a pure expression — the
+    centroid table is tiny and ships as an array-of-arrays literal."""
+    table = F.array(
+        *[F.array(*[F.lit(float(w)) for w in c]) for c in centroids]
+    )
+    return cosine(vec, F.try_element_at(table, cell + 1))
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup candidate stage (Abbas et al. 2023, arXiv:2303.09540):
+    embeddings bucket into their nearest centroid cell (the paper's
+    k-means cluster) and only WITHIN-CELL pairs are scored — exact cosine,
+    kept at ``score >= threshold``. Returns ``(id_a, id_b, cell, score)``
+    with ``id_a < id_b``.
+
+    Scale shape: one narrow cell assignment (broadcast centroid literals,
+    no shuffle), then a self-equi-join on the cell id — the all-pairs
+    blowup is bounded per cell (the paper's reason for clustering first);
+    skewed cells are ordinary skewed join keys (AQE splits them, or raise
+    the centroid count upstream so cells stay balanced).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.try_element_at(
+            _nearest_cells(F.col(vec_col), centroids, 1), F.lit(1)
+        ).alias("cell"),
+    )
+    a = c.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cell"
+    )
+    b = c.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "cell", "score")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full SemDeDup decision: within-cell cosine pairs → connected
+    components → per-group survivor. The paper keeps the group member with
+    the LOWEST cosine similarity to its cluster centroid (the most
+    "atypical" copy — keeping it preserves diversity; arXiv:2303.09540 §3),
+    id tie-break. Returns every corpus row as
+    ``(id, cell, centroid_sim, cluster, keep_id, keep)`` — singletons keep
+    themselves, ``cluster`` is the group's min id (its own id when unique).
+
+    Composition of three existing scale-shaped pieces: cell equi-join
+    pairs (above) → ``dedup.connected_components`` (iterative min-label,
+    O(1) executor storage) → ``dedup.cluster_representatives`` (one
+    cluster-keyed window) with score = −centroid_sim so keep-best-score
+    implements keep-least-typical.
+    """
+    from .dedup import cluster_representatives, connected_components
+
+    pairs = semantic_dup_pairs(
+        corpus, centroids, threshold, id_col=id_col, vec_col=vec_col
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    celled = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        F.try_element_at(
+            _nearest_cells(F.col(vec_col), centroids, 1), F.lit(1)
+        ).alias("cell"),
+    )
+    scored = celled.select(
+        "id",
+        "cell",
+        F.round(
+            centroid_similarity(F.col("_v"), F.col("cell"), centroids), 6
+        ).alias("centroid_sim"),
+    ).join(comp, "id", "left")
+    clustered = scored.select(
+        "id",
+        "cell",
+        "centroid_sim",
+        F.coalesce("component", "id").alias("cluster"),
+        (-F.col("centroid_sim")).alias("_neg_sim"),
+    )
+    reps = cluster_representatives(
+        clustered,
+        id_col="id",
+        cluster_col="cluster",
+        score_col="_neg_sim",
+    )
+    return (
+        clustered.select("id", "cell", "centroid_sim")
+        .join(reps.select("id", "cluster", "keep_id", "keep"), "id")
+    )

@@ -4658,3 +4658,86 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         d.select("doc_id", host.alias("host"))
     ).select("doc_id", "host", "registrable_domain", "split")
+
+
+def _centroid_table_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"CAST({w} AS DOUBLE)" for w in c) + "]"
+        for c in _IVF_CENTROIDS
+    )
+    return f"[{rows}]"
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id < 5),
+    celled AS (
+      SELECT vec_id, embedding,
+             ({_ivf_cells_sql('embedding', 1)})[1] AS cell
+      FROM base),
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM (SELECT vec_id, embedding AS qv, cell FROM celled) x
+      JOIN (SELECT vec_id, embedding AS cv, cell FROM celled) y
+      USING (cell)
+      WHERE x.vec_id < y.vec_id AND {_COSINE_SQL} >= 0.99),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    comp AS (
+      SELECT a AS vec_id, least(min(b), a) AS component
+      FROM reach GROUP BY a),
+    scored AS (
+      SELECT c.vec_id AS id,
+             CAST(c.cell AS BIGINT) AS cell,
+             (SELECT {_COSINE_SQL} FROM (SELECT c.embedding AS qv,
+                     ({_centroid_table_sql()})[c.cell + 1] AS cv))
+               AS centroid_sim,
+             coalesce(m.component, c.vec_id) AS cluster
+      FROM celled c LEFT JOIN comp m ON c.vec_id = m.vec_id)
+    SELECT id, cell, centroid_sim, cluster,
+           first_value(id) OVER
+             (PARTITION BY cluster ORDER BY centroid_sim ASC, id ASC)
+             AS keep_id,
+           id = first_value(id) OVER
+             (PARTITION BY cluster ORDER BY centroid_sim ASC, id ASC)
+             AS keep
+    FROM scored
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup, arXiv:2303.09540) over the planted-
+    duplicate embedding corpus (two clone tiers make 3-member groups):
+    both engines assign the same k-means cells from the persisted centroid
+    literals, score only within-cell pairs, transitively close the ≥0.99
+    graph (Spark: iterative min-label CC; oracle: recursive-CTE closure),
+    and keep each group's LEAST-centroid-typical member — assignment,
+    similarity, cluster and survivor value-for-value."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = (
+        e.filter(F.col("vec_id") < 100)
+        .unionByName(
+            e.filter(F.col("vec_id") < 10).select(
+                (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            e.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    out = similarity.semdedup(base, _IVF_CENTROIDS, threshold=0.99)
+    return out.select(
+        "id", F.col("cell").cast("long").alias("cell"),
+        "centroid_sim", "cluster", "keep_id", "keep",
+    )
