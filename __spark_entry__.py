@@ -133,6 +133,10 @@ _DEMOTED = (
     # operator stays driver-attested via robots_admission; the frontier
     # composition keeps its pytest + CHECK_FULL coverage
     "crawl_frontier",
+    # ...and to 98 (cdx_surt_keys, cdx_fetch_plan — new, stay in the
+    # window); two more r04-attested, unchanged rows yield their slots
+    "big_spender_nations",
+    "customers_without_orders",
 )
 
 

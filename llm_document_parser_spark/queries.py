@@ -4741,3 +4741,126 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.col("cell").cast("long").alias("cell"),
         "centroid_sim", "cluster", "keep_id", "keep",
     )
+
+
+# ===========================================================================
+# CDX index source: SURT urlkeys + WARC range-fetch planning
+# ===========================================================================
+
+
+@query(
+    "cdx_surt_keys",
+    """
+    SELECT doc_id,
+      CASE doc_id % 4
+        WHEN 0 THEN 'com,example,' || source || ')/p'
+                    || CAST(doc_id AS VARCHAR) || '?a='
+                    || CAST(doc_id % 3 AS VARCHAR) || '&b=2'
+        WHEN 1 THEN 'org,' || source || ')/'
+                    || CAST(doc_id AS VARCHAR) || '/x'
+        WHEN 2 THEN 'net,' || source || ',cdn:8080)/a/b'
+        ELSE 'io,' || source || ')/'
+      END AS urlkey
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def cdx_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT urlkey computation (operators/cdx.py) over four deterministic
+    URL shapes that together exercise every rule: www-strip + mixed-case
+    host + unsorted mixed-case query (v0), default-port strip (v1),
+    non-default port kept after the reversed host + double-slash collapse
+    + trailing slash + fragment (v2), and empty path (v3). The oracle
+    reconstructs each expected key arithmetically from the construction —
+    any canonicalization bug (label order, port placement, case folding,
+    query sort, path normalization) mismatches its variant."""
+    from .operators.cdx import surt_key
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    url = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".Example.COM/P"), did.cast("string"),
+                F.lit("?b=2&A="), (did % 3).cast("string"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("HTTP://"), F.col("source"), F.lit(".ORG:80/"),
+                did.cast("string"), F.lit("/x"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("https://cdn."), F.col("source"),
+                F.lit(".net:8080/a//b/#frag"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".io")))
+    )
+    return d.select("doc_id", surt_key(url).alias("urlkey"))
+
+
+@query(
+    "cdx_fetch_plan",
+    """
+    WITH s AS (
+      SELECT doc_id // 4 AS seq,
+             'crawl-0000' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz'
+               AS filename
+      FROM documents WHERE doc_id < 400
+    ), r AS (
+      SELECT filename, seq,
+             seq * 1000 + (seq // 5) * 50000 AS off,
+             1000 - (seq % 3) AS len
+      FROM s
+    )
+    SELECT filename,
+           CAST(min(off) AS BIGINT)            AS fetch_start,
+           CAST(max(off + len) AS BIGINT)      AS fetch_end,
+           CAST(max(off + len) - min(off) AS BIGINT) AS fetch_bytes,
+           count(*)                            AS n_records
+    FROM r GROUP BY filename, seq // 5
+    """,
+)
+def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ parse → range-fetch coalescing, end-to-end through the real
+    parser: Spark builds CDXJ index lines (urlkey, 14-digit timestamp,
+    compact JSON with string-typed numerics — the real CC format),
+    operators/cdx.parse_cdxj recovers typed rows, and plan_warc_fetches
+    (max_gap=2) coalesces them into ranged fetch tasks. Offsets step by
+    1000 with lengths 1000-(seq%3), so consecutive records leave framing
+    gaps of 0-2 bytes (all coalesce) and every 5th record jumps +50000
+    (breaks the range). The oracle reconstructs the arithmetic directly;
+    a bug in the line split, JSON field mapping, numeric casts, or the
+    gap/window logic shifts a boundary and mismatches."""
+    from .operators.cdx import parse_cdxj, plan_warc_fetches
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    seq = F.floor(did / 4).cast("long")
+    offset = seq * 1000 + F.floor(seq / 5) * 50000
+    length = F.lit(1000) - (seq % 3)
+    filename = F.concat(
+        F.lit("crawl-0000"), (did % 4).cast("string"), F.lit(".warc.gz")
+    )
+    js = F.to_json(
+        F.struct(
+            F.concat(F.lit("https://h"), did.cast("string")).alias("url"),
+            F.lit("text/html").alias("mime"),
+            F.lit("200").alias("status"),
+            F.md5(did.cast("string")).alias("digest"),
+            length.cast("string").alias("length"),
+            offset.cast("string").alias("offset"),
+            filename.alias("filename"),
+        )
+    )
+    lines = d.select(
+        F.concat_ws(" ", F.lit("k"), F.lit("20240301120000"), js).alias("line")
+    )
+    parsed = parse_cdxj(lines)
+    return plan_warc_fetches(parsed, max_gap=2)
