@@ -137,6 +137,10 @@ _DEMOTED = (
     # window); two more r04-attested, unchanged rows yield their slots
     "big_spender_nations",
     "customers_without_orders",
+    # ...and to 100 (bpe_merge_learning, sitemap_url_discovery — new,
+    # stay in the window); two more r04-attested, unchanged rows yield
+    "segment_order_stats",
+    "regional_revenue",
 )
 
 

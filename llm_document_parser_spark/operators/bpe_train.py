@@ -1,0 +1,160 @@
+"""Distributed BPE tokenizer TRAINING — learn merge rules from a corpus.
+
+``operators/tokenizers.py`` *applies* a pretrained BPE vocabulary (exact
+counts when tiktoken is importable); this module learns one, the way a
+training-data pipeline bootstraps a tokenizer for a new corpus (Sennrich
+et al. 2016, arXiv:1508.07909). The reference counts words per document
+(``src/document_parser.py`` feature extraction); BPE training is the
+same word-statistics surface taken to its production conclusion.
+
+Scale shape — the classic two-table trick keeps every expensive step off
+the corpus:
+
+* :func:`word_counts` is the ONLY corpus-scale pass: one explode + one
+  groupBy (map-side partial agg). Everything after runs on the distinct-
+  word table, which Zipf bounds at ~10^6-10^7 rows even for a 100 TB
+  corpus (≫1000× smaller than the corpus).
+* :func:`learn_bpe`: per merge iteration, one adjacent-pair explode +
+  one groupBy + a 1-row ``ORDER BY … LIMIT 1`` argmax (deterministic
+  tie-break: count desc, then pair lexicographic), then one native
+  ``F.aggregate`` left-fold re-segments the vocab — zero Python in any
+  hot path; the driver holds only the 1-row winner per iteration
+  (same loop discipline as ``links.pagerank``, with periodic
+  ``localCheckpoint`` to truncate the fold lineage).
+* :func:`segment_words` / :func:`encode_tokens`: applying learned merges
+  to a corpus re-uses the same trick — segment DISTINCT words once, then
+  broadcast-join the segmentation back onto the token stream.
+
+The left-fold merge is the exact textbook semantics (greedy
+left-to-right single pass per rule), pinned against a pure-Python
+reference in tests/test_bpe_train.py and replayed verbatim by the
+DuckDB oracle (``list_reduce`` over singleton lists) in the
+``bpe_merge_learning`` catalog query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: lowercase + alpha-runs only: keeps the symbol alphabet closed under
+#: merging and the word table small; callers needing full punctuation
+#: pre-tokenization can pass their own words_df to learn_bpe.
+_WORD_SPLIT_RE = "[^a-z]+"
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
+    """(word, cnt) over the corpus — the single corpus-scale shuffle."""
+    w = F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT_RE)).alias(
+        "word"
+    )
+    return (
+        docs.select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """One greedy left-to-right pass merging adjacent (a, b) → a+b.
+
+    A native left fold: when the accumulator's last symbol is ``a`` and
+    the incoming symbol is ``b``, the pair collapses; a fresh ``a+b``
+    does NOT re-merge with a following ``b`` within the same pass (the
+    textbook single-pass rule — [a,b,b] → [ab,b], not [abb])."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """sum(cnt) per adjacent symbol pair across the vocab table."""
+    n = F.size("syms")
+    pair = F.explode(
+        F.zip_with(
+            F.slice("syms", 1, n - 1),
+            F.slice("syms", 2, n - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+    ).alias("p")
+    return (
+        words.filter(n >= 2)
+        .select("cnt", pair)
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def learn_bpe(
+    words: DataFrame,
+    num_merges: int,
+    min_pair_count: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``num_merges`` merge rules from a (word, cnt) table.
+
+    Returns [(a, b, pair_count), …] in learned order. Stops early when
+    no pair reaches ``min_pair_count``. Each iteration costs one shuffle
+    over the vocab table; ``checkpoint_every`` bounds the fold-lineage
+    depth exactly like the PageRank loop."""
+    cur = words.select("word", "cnt", F.split("word", "").alias("syms"))
+    merges: list[tuple[str, str, int]] = []
+    prev = None
+    for i in range(num_merges):
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_pair_count:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["pair_count"]
+        merges.append((a, b, int(n)))
+        cur = cur.withColumn("syms", merge_pair(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            nxt = cur.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev, cur = cur, nxt
+    return merges
+
+
+def segment_words(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply learned merges to a words table → (word, pieces).
+
+    Builds one nested native fold per merge rule; run it on DISTINCT
+    words (vocab-sized), never the raw token stream — then join back
+    (:func:`encode_tokens`). For merge lists beyond a few hundred rules
+    split the application into chunks with ``localCheckpoint`` between
+    them to keep the codegen tree bounded."""
+    syms = F.split("word", "")
+    for a, b, _ in merges:
+        syms = merge_pair(syms, a, b)
+    return words.select("word", syms.alias("pieces"))
+
+
+def encode_tokens(
+    tokens: DataFrame,
+    merges: list[tuple[str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Segment a corpus token stream: segment the distinct-word table,
+    broadcast-join the pieces back. The corpus-side cost is one
+    broadcast hash join — the fold never touches corpus rows."""
+    vocab = tokens.select(F.col(word_col).alias("word")).distinct()
+    seg = segment_words(vocab, merges)
+    return tokens.join(
+        F.broadcast(seg), tokens[word_col] == seg["word"], "left"
+    ).drop(seg["word"])

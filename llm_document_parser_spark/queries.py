@@ -4864,3 +4864,119 @@ def cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_cdxj(lines)
     return plan_warc_fetches(parsed, max_gap=2)
+
+
+# ===========================================================================
+# distributed BPE tokenizer training (operators/bpe_train.py)
+# ===========================================================================
+
+
+def _bpe_oracle(num_merges: int, doc_limit: int) -> str:
+    """Unrolled-CTE replay of learn_bpe (the pagerank-oracle pattern):
+    per iteration, zip-unnest adjacent pairs → argmax with the identical
+    tie-break → re-segment via a list_reduce fold that is line-for-line
+    the same left-fold semantics as operators/bpe_train.merge_pair."""
+    sql = f"""
+    WITH w AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+        FROM documents WHERE doc_id < {doc_limit})
+      WHERE word <> '' GROUP BY word
+    ), it0 AS (SELECT word, cnt, regexp_extract_all(word, '.') AS syms FROM w)"""
+    for i in range(num_merges):
+        sql += f""",
+    p{i} AS (
+      SELECT a, b, sum(cnt) AS pair_count FROM (
+        SELECT cnt, unnest(syms[1:len(syms)-1]) AS a,
+               unnest(syms[2:len(syms)]) AS b
+        FROM it{i} WHERE len(syms) >= 2)
+      GROUP BY a, b
+    ), b{i} AS (SELECT a, b, pair_count FROM p{i}
+                ORDER BY pair_count DESC, a, b LIMIT 1),
+    it{i + 1} AS (
+      SELECT word, cnt,
+        list_reduce(list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[-1] = b{i}.a AND x[1] = b{i}.b
+                      THEN list_concat(acc[1:(len(acc) - 1)],
+                                       [b{i}.a || b{i}.b])
+                      ELSE list_concat(acc, x) END) AS syms
+      FROM it{i}, b{i})"""
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, a AS sym_a, b AS sym_b,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    return sql + "\n    " + selects
+
+
+@query("bpe_merge_learning", _bpe_oracle(4, 120))
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe_train.py, arXiv:1508.07909)
+    over the documents corpus: 4 merge rules learned end-to-end. Each
+    oracle rank depends on the previous iteration's fold output, so a
+    single mis-merged word anywhere in the vocab shifts a later argmax
+    and mismatches. Multi-merge segmentation parity against a pure-Python
+    reference BPE: tests/test_bpe_train.py."""
+    from .operators.bpe_train import learn_bpe, word_counts
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    merges = learn_bpe(word_counts(d), num_merges=4)
+    rows = [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, sym_a string, sym_b string, pair_count long"
+    )
+
+
+@query(
+    "sitemap_url_discovery",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+      FROM documents WHERE doc_id < 100
+    ), x AS (
+      SELECT host,
+        '<?xml version="1.0"?><urlset><url><loc'
+        || CASE WHEN doc_id % 2 = 0 THEN ' xmlns="s"' ELSE '' END
+        || '>https://' || host || '/p' || CAST(doc_id AS VARCHAR)
+        || '</loc><lastmod>2024-01-01</lastmod></url><url><LOC>'
+        || chr(10) || '  https://' || host || '/q'
+        || CAST(doc_id AS VARCHAR) || ' ' || chr(10)
+        || '</loc></url></urlset>' AS xml
+      FROM d
+    ), locs AS (
+      SELECT host,
+             unnest(regexp_extract_all(
+               xml, '(?is)<loc[^>]*>\s*(.*?)\s*</loc', 1)) AS loc
+      FROM x
+    )
+    SELECT host, loc,
+           'example,' || regexp_extract(loc, '^https://(site[0-9]+)\.example', 1)
+           || ')' || regexp_extract(loc, '\.example(/.*)$', 1) AS urlkey
+    FROM locs
+    """,
+)
+def sitemap_url_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion → frontier keys: robots.sitemap_locs explodes
+    <loc> entries (attribute noise, case-insensitive tag, whitespace
+    padding, distractor <lastmod> tags — hostile markup built identically
+    on both sides, extracted independently by Java regex vs DuckDB RE2),
+    then cdx.surt_key turns each discovered URL into its index probe key
+    (oracle reconstructs keys with independent string ops)."""
+    from .operators.cdx import surt_key
+    from .operators.robots import sitemap_locs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("site"), (did % 7).cast("string"), F.lit(".example"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc'),
+        F.when(did % 2 == 0, F.lit(' xmlns="s"')).otherwise(F.lit("")),
+        F.lit(">https://"), host, F.lit("/p"), did.cast("string"),
+        F.lit("</loc><lastmod>2024-01-01</lastmod></url><url><LOC>\n  https://"),
+        host, F.lit("/q"), did.cast("string"), F.lit(" \n</loc></url></urlset>"),
+    )
+    locs = sitemap_locs(d.select(host.alias("host"), xml.alias("xml")))
+    return locs.select(
+        "host", "loc", surt_key(F.col("loc")).alias("urlkey")
+    )
