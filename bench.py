@@ -392,6 +392,62 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: distributed BPE training over the 50k corpus ---
+    # the only corpus-scale pass is the word-count shuffle; the 8 merge
+    # iterations (pair argmax + native fold re-segmentation) run on the
+    # Zipf-bounded vocab table. learn_bpe drives its own actions, so the
+    # leg is the call itself.
+    from llm_document_parser_spark.operators import bpe_train
+
+    add_leg(
+        "bpe_train8_50k",
+        lambda: bpe_train.learn_bpe(
+            bpe_train.word_counts(docs50k, text_col="extracted_text"), 8
+        ),
+    )
+
+    # --- timed: CDX index parse + fetch planning over 1M lines ---
+    # 20 synthetic captures per page → 1M CDXJ lines built natively, then
+    # the real parser (limit-3 split + from_json) and the single-shuffle
+    # per-file range coalescer. Measures JSON-parse throughput at index
+    # width plus the window shape a 10^12-row index would run per file.
+    from llm_document_parser_spark.operators import cdx as cdxops
+
+    def _cdx_lines():
+        e = docs50k.select(
+            "url", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i")
+        )
+        seq = F.abs(F.xxhash64("url", "i"))
+        filename = F.concat(
+            F.lit("crawl-"), F.pmod(seq, F.lit(256)).cast("string"),
+            F.lit(".warc.gz"),
+        )
+        js = F.to_json(
+            F.struct(
+                F.col("url").alias("url"),
+                F.lit("text/html").alias("mime"),
+                F.lit("200").alias("status"),
+                F.md5("url").alias("digest"),
+                F.lit("900").alias("length"),
+                (F.pmod(seq, F.lit(10_000_000)) * 37).cast("string").alias(
+                    "offset"
+                ),
+                filename.alias("filename"),
+            )
+        )
+        return e.select(
+            F.concat_ws(" ", F.lit("k"), F.lit("20240301120000"), js).alias(
+                "line"
+            )
+        )
+
+    add_leg(
+        "cdx_plan_1m",
+        lambda: cdxops.plan_warc_fetches(
+            cdxops.parse_cdxj(_cdx_lines()), max_gap=1024
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # --- execute: two full passes over every leg, min reported ---
     query_runs: dict[str, list[float]] = {name: [] for name, _ in legs}
     for _trial in range(2):

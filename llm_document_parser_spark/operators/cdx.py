@@ -56,21 +56,24 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     ``split(line, ' ', 3)`` keeps the JSON blob intact even if a field
     inside it contains spaces (urls with unencoded spaces exist in real
     indexes). Rows whose JSON fails to parse keep their urlkey/timestamp
-    and carry NULL fields — callers count them, never throw.
+    and carry NULL fields — callers count them, never throw. ``try_``
+    variants throughout: under Spark 4 ANSI mode, plain ``element_at``
+    on a short line and ``to_timestamp`` on a malformed timestamp THROW
+    (hypothesis-caught in tests/test_cdx.py).
     """
     parts = F.split(F.col(line_col), " ", 3)
-    j = F.from_json(F.element_at(parts, 3), CDX_JSON_SCHEMA)
+    j = F.from_json(F.try_element_at(parts, F.lit(3)), CDX_JSON_SCHEMA)
     return df.select(
-        F.element_at(parts, 1).alias("urlkey"),
-        F.to_timestamp(F.element_at(parts, 2), "yyyyMMddHHmmss").alias(
-            "capture_ts"
-        ),
+        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
+        F.try_to_timestamp(
+            F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
+        ).alias("capture_ts"),
         j["url"].alias("url"),
         j["mime"].alias("mime"),
-        j["status"].cast("int").alias("status"),
+        j["status"].try_cast("int").alias("status"),
         j["digest"].alias("digest"),
-        j["length"].cast("long").alias("length"),
-        j["offset"].cast("long").alias("offset"),
+        j["length"].try_cast("long").alias("length"),
+        j["offset"].try_cast("long").alias("offset"),
         j["filename"].alias("filename"),
     )
 

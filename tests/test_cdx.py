@@ -124,3 +124,30 @@ def test_plan_single_shuffle(spark):
     )
     plan = plan_warc_fetches(cdx)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# --- hostile-input fuzz: the CDX surface must never throw ---
+
+from hypothesis import given, settings, strategies as st
+
+URL_CHARS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(URL_CHARS, min_size=1, max_size=30))
+def test_surt_key_never_throws(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(surt_key(F.col("url")).alias("k")).collect()
+    # every result is NULL (unparseable) or contains the SURT delimiter
+    for r in out:
+        assert r["k"] is None or ")" in r["k"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=30))
+def test_parse_cdxj_never_throws(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    rows = parse_cdxj(df).collect()
+    assert len(rows) == len(lines)  # malformed lines degrade, never drop
