@@ -3,9 +3,11 @@
 ``operators/tokenizers.py`` *applies* a pretrained BPE vocabulary (exact
 counts when tiktoken is importable); this module learns one, the way a
 training-data pipeline bootstraps a tokenizer for a new corpus (Sennrich
-et al. 2016, arXiv:1508.07909). The reference counts words per document
-(``src/document_parser.py`` feature extraction); BPE training is the
-same word-statistics surface taken to its production conclusion.
+et al. 2016, arXiv:1508.07909). The reference learns corpus term
+statistics with a TfidfVectorizer (``src/document_parser.py:36`` —
+``ngram_range=(1, 2), max_features=1000`` — fit/transform at
+``:674-678``); distributed BPE training is that same
+corpus-vocabulary-learning surface taken to its production conclusion.
 
 Scale shape — the classic two-table trick keeps every expensive step off
 the corpus:

@@ -1,8 +1,9 @@
 """Common Crawl index (CDXJ) source and WARC range-fetch planning.
 
-The reference ingests documents one upload at a time (``src/app.py``
-``/upload`` → ``src/document_parser.py``); at web scale the entry point
-is the crawl *index*: CDXJ lines of the form
+The reference ingests documents one upload at a time
+(``src/api_server.py`` ``/api/documents/parse`` and ``/batch_parse``
+routes → ``src/document_parser.py:752`` ``parse_document``); at web
+scale the entry point is the crawl *index*: CDXJ lines of the form
 
     <urlkey> <14-digit timestamp> <compact JSON>
 
