@@ -105,12 +105,18 @@ def learn_bpe(
     """Learn up to ``num_merges`` merge rules from a (word, cnt) table.
 
     Returns [(a, b, pair_count), …] in learned order. Stops early when
-    no pair reaches ``min_pair_count``. Each iteration costs one shuffle
-    over the vocab table; ``checkpoint_every`` bounds the fold-lineage
-    depth exactly like the PageRank loop."""
-    cur = words.select("word", "cnt", F.split("word", "").alias("syms"))
+    no pair reaches ``min_pair_count``. The input is materialized with an
+    eager ``localCheckpoint`` before the loop — without it every
+    iteration's argmax re-runs the caller's corpus-scale word-count
+    lineage (measured: 8 merges cost 8 corpus shuffles instead of 1,
+    30.5 s → 3.5 s on the 50k bench corpus). After that, each iteration
+    costs one shuffle over the vocab table only; ``checkpoint_every``
+    bounds the fold-lineage depth exactly like the PageRank loop."""
+    cur = words.select(
+        "word", "cnt", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    ckpts = [cur]  # keep ≤2 live, like the PageRank loop
     merges: list[tuple[str, str, int]] = []
-    prev = None
     for i in range(num_merges):
         best = (
             _pair_counts(cur)
@@ -124,10 +130,12 @@ def learn_bpe(
         merges.append((a, b, int(n)))
         cur = cur.withColumn("syms", merge_pair(F.col("syms"), a, b))
         if (i + 1) % checkpoint_every == 0:
-            nxt = cur.localCheckpoint(eager=True)
-            if prev is not None:
-                prev.unpersist()
-            prev, cur = cur, nxt
+            cur = cur.localCheckpoint(eager=True)
+            ckpts.append(cur)
+            if len(ckpts) > 2:
+                ckpts.pop(0).unpersist()
+    for df in ckpts:
+        df.unpersist()
     return merges
 
 
