@@ -141,6 +141,9 @@ _DEMOTED = (
     # stay in the window); two more r04-attested, unchanged rows yield
     "segment_order_stats",
     "regional_revenue",
+    # ...and to 101 (html_markdown_docs — new, stays in the window);
+    # one more r04-attested, unchanged row yields its slot
+    "paginated_orders",
 )
 
 

@@ -4980,3 +4980,54 @@ def sitemap_url_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return locs.select(
         "host", "loc", surt_key(F.col("loc")).alias("urlkey")
     )
+
+
+# ===========================================================================
+# HTML → Markdown (operators/markdown.py)
+# ===========================================================================
+
+from .operators.markdown import markdown_sql as _md_sql  # noqa: E402
+
+_MD_HTML_SQL = (
+    "'<html><head><style>a{b}</style><script>var x=1;</script></head>"
+    "<body><h1 id=\"t\">Doc ' || CAST(doc_id AS VARCHAR) || "
+    "' &amp; friends</h1><p>' || substr(text, 1, 80) || "
+    "'</p><ul><li>lang: ' || lang || '</li><li>source: <B>' || source || "
+    "'</B></li></ul><a href=\"https://ex.example/' || CAST(doc_id AS VARCHAR)"
+    " || '\">More &lt;here&gt;</a><pre>keep</pre></body></html>'"
+)
+
+
+@query(
+    "html_markdown_docs",
+    f"""
+    SELECT doc_id, {_md_sql(_MD_HTML_SQL)} AS markdown
+    FROM documents WHERE doc_id < 150
+    """,
+)
+def html_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → Markdown conversion (operators/markdown.py): hostile-ish
+    HTML (style/script blocks, attributes, uppercase tags, entities, a
+    <pre> that a sloppy <p> rule would eat) is built identically on both
+    sides from document fields, then converted by the SAME regexp chain
+    running under Java regex (Spark) and RE2 (DuckDB) — headings, bold,
+    bullets, links and whitespace normalization value-for-value."""
+    from .operators.markdown import html_to_markdown
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><style>a{b}</style><script>var x=1;</script>'
+              '</head><body><h1 id="t">Doc '),
+        did,
+        F.lit(" &amp; friends</h1><p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit("</li><li>source: <B>"),
+        F.col("source"),
+        F.lit('</B></li></ul><a href="https://ex.example/'),
+        did,
+        F.lit('">More &lt;here&gt;</a><pre>keep</pre></body></html>'),
+    )
+    return d.select("doc_id", html_to_markdown(html).alias("markdown"))
