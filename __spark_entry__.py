@@ -144,6 +144,9 @@ _DEMOTED = (
     # ...and to 101 (html_markdown_docs — new, stays in the window);
     # one more r04-attested, unchanged row yields its slot
     "paginated_orders",
+    # ...and to 102 (robots_wildcard_admission — new, stays in the
+    # window); one more r04-attested, unchanged row yields its slot
+    "union_sources",
 )
 
 

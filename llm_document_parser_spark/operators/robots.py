@@ -28,8 +28,15 @@ dropped at parse time, per spec.
 Scale shape: the parse windows partition by robots host (files are KBs —
 a per-host window is trivially safe); the admission join is host-equi
 (rules tables are ~10 rules × hosts, broadcastable at any realistic host
-count). Wildcards (*, $) inside rule paths are out of spec v1 and left
-as plain prefix characters — documented, matching the oracle.
+count).
+
+Wildcards: plain-prefix matching (the original 1994 REP) is the default;
+``robots_allowed(..., wildcards=True)`` upgrades to RFC 9309 / Google
+semantics — ``*`` matches any char run, a trailing ``$`` anchors the
+rule to the path end, and specificity is the RAW pattern length
+(``*``/``$`` counted, per Google's implementation). Each rule compiles
+ONCE (in the broadcast rules table) to an anchored regex via
+:func:`wildcard_regex`; urls never pay per-row pattern building.
 """
 
 from __future__ import annotations
@@ -84,19 +91,42 @@ def parse_robots(df: DataFrame, host_col: str = "host", body_col: str = "body") 
     ).distinct()
 
 
+def wildcard_regex(prefix):
+    """Compile an RFC 9309 rule path to an anchored regex (a Column
+    expression): metachars escaped, ``*`` → ``.*``, trailing ``$`` →
+    end anchor. Runs once per RULE (broadcast table), never per url.
+    The pattern produced is RE2-compatible (no lookaround), so the
+    DuckDB oracle applies the identical compilation chain."""
+    has_anchor = prefix.endswith("$")
+    body = F.when(
+        has_anchor, F.substring(prefix, 1, F.length(prefix) - 1)
+    ).otherwise(prefix)
+    esc = F.regexp_replace(body, r"([.+?(){}\[\]|^\\$])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), star,
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,
     agent: str = "*",
     url_col: str = "url",
     broadcast_rules: bool = True,
+    wildcards: bool = False,
 ) -> DataFrame:
     """Append ``host`` and boolean ``allowed`` to ``urls`` under the
-    ``agent`` group of ``rules`` (from ``parse_robots``). Longest prefix
-    wins, Allow wins ties, unmatched urls and rule-less hosts allowed."""
+    ``agent`` group of ``rules`` (from ``parse_robots``). Longest match
+    wins, Allow wins ties, unmatched urls and rule-less hosts allowed.
+    ``wildcards=True`` switches from plain-prefix (1994 REP) to RFC 9309
+    ``*``/``$`` matching; specificity stays the raw pattern length."""
     r = rules.filter(F.col("agent") == agent.lower()).select(
         "host", "rule", "prefix"
     )
+    if wildcards:
+        r = r.withColumn("_rx", wildcard_regex(F.col("prefix")))
     if broadcast_rules:
         r = F.broadcast(r)
     # verdicts are computed over the slim DISTINCT url projection and
@@ -117,9 +147,12 @@ def robots_allowed(
         )
     )
     cand = slim.join(r, "host", "left")
-    matched = F.col("prefix").isNotNull() & F.col("_path").startswith(
-        F.col("prefix")
-    )
+    if wildcards:
+        matched = F.col("_rx").isNotNull() & F.expr("_path RLIKE _rx")
+    else:
+        matched = F.col("prefix").isNotNull() & F.col("_path").startswith(
+            F.col("prefix")
+        )
     per_url = cand.groupBy("_u", "host").agg(
         F.coalesce(
             F.max(F.when(matched & (F.col("rule") == "allow"), F.length("prefix"))),

@@ -5031,3 +5031,60 @@ def html_markdown_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('">More &lt;here&gt;</a><pre>keep</pre></body></html>'),
     )
     return d.select("doc_id", html_to_markdown(html).alias("markdown"))
+
+
+@query(
+    "robots_wildcard_admission",
+    """
+    SELECT doc_id,
+           'w' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host,
+           CASE
+             WHEN doc_id % 3 = 2 THEN TRUE          -- no rules for w2
+             WHEN doc_id % 6 = 1 THEN FALSE         -- /private (prefix 8)
+             WHEN doc_id % 6 = 3 THEN (doc_id % 3 = 1)
+                  -- /*.pdf$ disallows (7) unless w1's allow /files/*.pdf$ (13)
+             WHEN doc_id % 6 = 5 THEN FALSE         -- /search?* disallows
+             ELSE TRUE  -- /public & .pdfx (the $ anchor misses) & /private/ok
+           END AS allowed
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def robots_wildcard_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard robots admission (robots_allowed(wildcards=True)):
+    rules with ``*`` runs, ``$`` end anchors, regex metachars (``?``,
+    ``.``) in paths, and an allow/disallow specificity race decided by
+    raw pattern length. Six path shapes × three hosts; the oracle states
+    the expected verdict per shape arithmetically — an escaping bug, a
+    mis-anchored ``$``, or a wrong specificity rule flips a CASE arm."""
+    from .operators.robots import robots_allowed
+
+    shared = [
+        ("disallow", "/private"),
+        ("allow", "/private/ok"),
+        ("disallow", "/*.pdf$"),
+        ("disallow", "/search?*"),
+    ]
+    rules = spark.createDataFrame(
+        [(h, "*", r, p) for h in ("w0.example", "w1.example") for r, p in shared]
+        + [("w1.example", "*", "allow", "/files/*.pdf$")],
+        "host string, agent string, rule string, prefix string",
+    )
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    path = (
+        F.when(did % 6 == 0, F.concat(F.lit("/public/page"), ds))
+        .when(did % 6 == 1, F.concat(F.lit("/private/page"), ds))
+        .when(did % 6 == 2, F.concat(F.lit("/private/ok/page"), ds))
+        .when(did % 6 == 3, F.concat(F.lit("/files/doc"), ds, F.lit(".pdf")))
+        .when(did % 6 == 4, F.concat(F.lit("/files/doc"), ds, F.lit(".pdfx")))
+        .otherwise(F.concat(F.lit("/search?q="), ds))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"), (did % 3).cast("string"), F.lit(".example"), path
+        ).alias("url"),
+    )
+    out = robots_allowed(urls, rules, wildcards=True)
+    return out.select("doc_id", "host", "allowed")

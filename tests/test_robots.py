@@ -199,3 +199,67 @@ def test_fetch_waves_unknown_host_defaults(spark):
     empty = spark.createDataFrame([], "host string, delay_secs long")
     r = schedule_fetch_waves(frontier, empty).collect()[0]
     assert r["delay_secs"] == 1 and r["wave"] == 0 and r["eta_secs"] == 0
+
+
+# --- RFC 9309 wildcard matching (robots_allowed(wildcards=True)) ---
+
+from llm_document_parser_spark.operators.robots import wildcard_regex
+
+
+def test_wildcard_regex_compilation(spark):
+    df = spark.createDataFrame(
+        [("/*.pdf$",), ("/a*b*c",), ("/x.y+z(q)",), ("/plain",), ("/end$",)],
+        "prefix string",
+    )
+    got = [
+        r["rx"]
+        for r in df.select(wildcard_regex(F.col("prefix")).alias("rx")).collect()
+    ]
+    assert got == [
+        r"^/.*\.pdf$",
+        "^/a.*b.*c",
+        r"^/x\.y\+z\(q\)",
+        "^/plain",
+        "^/end$",
+    ]
+
+
+def _wild_verdicts(spark, rules_rows, urls):
+    rules = spark.createDataFrame(
+        [("h.example", "*", r, p) for r, p in rules_rows],
+        "host string, agent string, rule string, prefix string",
+    )
+    df = spark.createDataFrame(
+        [(f"https://h.example{p}",) for p in urls], "url string"
+    )
+    out = robots_allowed(df, rules, wildcards=True).collect()
+    return {r["url"].split(".example")[1]: r["allowed"] for r in out}
+
+
+def test_wildcard_dollar_anchor_and_star(spark):
+    v = _wild_verdicts(
+        spark,
+        [("disallow", "/*.doc$")],
+        ["/a/b.doc", "/a/b.docx", "/x.doc", "/x.doc/y"],
+    )
+    assert v == {
+        "/a/b.doc": False,
+        "/a/b.docx": True,
+        "/x.doc": False,
+        "/x.doc/y": True,
+    }
+
+
+def test_wildcard_allow_wins_equal_length_tie(spark):
+    v = _wild_verdicts(
+        spark,
+        [("disallow", "/p/*"), ("allow", "/p/a*")],  # lens 4 and 5
+        ["/p/a1", "/p/b1"],
+    )
+    assert v == {"/p/a1": True, "/p/b1": False}
+
+
+def test_wildcard_metachars_are_literal(spark):
+    # '.' must not act as regex any-char: /xay must NOT match /x.y
+    v = _wild_verdicts(spark, [("disallow", "/x.y")], ["/x.y/z", "/xay/z"])
+    assert v == {"/x.y/z": False, "/xay/z": True}
