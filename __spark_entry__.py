@@ -147,6 +147,9 @@ _DEMOTED = (
     # ...and to 102 (robots_wildcard_admission — new, stays in the
     # window); one more r04-attested, unchanged row yields its slot
     "union_sources",
+    # ...and to 103 (html_table_rows — new, stays in the window); one
+    # more r04-attested, unchanged row yields its slot
+    "token_dedup_stats",
 )
 
 

@@ -5088,3 +5088,75 @@ def robots_wildcard_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = robots_allowed(urls, rules, wildcards=True)
     return out.select("doc_id", "host", "allowed")
+
+
+# ===========================================================================
+# HTML table extraction (operators/tables.py)
+# ===========================================================================
+
+from .operators.tables import cell_cleanup_sql as _cell_sql  # noqa: E402
+
+_TBL_HTML_SQL = (
+    "'<h1>Doc</h1><table class=\"t\"><thead><tr><th>Item</th><th>Qty &amp; "
+    "Unit</th></tr></thead><tbody><tr><td><b>' || source || '</b></td>"
+    "<td> ' || CAST(doc_id AS VARCHAR) || '&nbsp;pcs</td></tr>"
+    "<tr><td>empty:</td><td></td></tr></tbody></table><p>between</p>"
+    "<table><tr><td>solo ' || lang || '</td></tr></table>'"
+)
+
+
+@query(
+    "html_table_rows",
+    f"""
+    WITH x AS (
+      SELECT doc_id, {_TBL_HTML_SQL} AS html FROM documents WHERE doc_id < 150
+    ), t AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html,
+               '(?is)<table[^>]*>(.*?)</table\\s*>', 1)) AS tbody,
+             unnest(range(len(regexp_extract_all(html,
+               '(?is)<table[^>]*>(.*?)</table\\s*>', 1)))) AS table_idx
+      FROM x
+    ), r AS (
+      SELECT doc_id, table_idx,
+             unnest(regexp_extract_all(tbody,
+               '(?is)<tr[^>]*>(.*?)</tr\\s*>', 1)) AS rowhtml,
+             unnest(range(len(regexp_extract_all(tbody,
+               '(?is)<tr[^>]*>(.*?)</tr\\s*>', 1)))) AS row_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+           CAST(row_idx AS BIGINT) AS row_idx,
+           list_transform(
+             regexp_extract_all(rowhtml,
+               '(?is)<t[dh][^>]*>\\s*(.*?)\\s*</t[dh]\\s*>', 1),
+             c -> {_cell_sql('c')}) AS cells
+    FROM r
+    """,
+)
+def html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (operators/tables.py): two tables per doc
+    (header row with th, a data row with nested bold + entity + nbsp, an
+    empty cell, then a second one-row table after intervening markup) →
+    (doc_id, table_idx, row_idx, cells). Both engines run the identical
+    three-level regex chain independently; a wrong explode pairing,
+    index base, or cell-cleanup rule mismatches value-for-value."""
+    from .operators.tables import extract_html_tables
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    html = F.concat(
+        F.lit('<h1>Doc</h1><table class="t"><thead><tr><th>Item</th>'
+              "<th>Qty &amp; Unit</th></tr></thead><tbody><tr><td><b>"),
+        F.col("source"),
+        F.lit("</b></td><td> "),
+        F.col("doc_id").cast("string"),
+        F.lit("&nbsp;pcs</td></tr><tr><td>empty:</td><td></td></tr>"
+              "</tbody></table><p>between</p><table><tr><td>solo "),
+        F.col("lang"),
+        F.lit("</td></tr></table>"),
+    )
+    src = d.select("doc_id", html.alias("html"))
+    out = extract_html_tables(src, id_col="doc_id", html_col="html")
+    return out.select(
+        F.col("id").alias("doc_id"), "table_idx", "row_idx", "cells"
+    )
