@@ -448,6 +448,24 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: HTML→Markdown + table extraction over the 50k raw pages ---
+    # both are pure-codegen regexp chains (zero Python, zero shuffle);
+    # these legs price the chains at corpus width on REAL page markup
+    from llm_document_parser_spark.operators.markdown import html_to_markdown
+    from llm_document_parser_spark.operators.tables import extract_html_tables
+
+    add_leg(
+        "html_markdown_50k",
+        lambda: pages_raw.select(
+            "url", html_to_markdown(F.col("html_text")).alias("md")
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "html_tables_50k",
+        lambda: extract_html_tables(pages_raw)
+        .write.format("noop").mode("overwrite").save(),
+    )
+
     # --- execute: two full passes over every leg, min reported ---
     query_runs: dict[str, list[float]] = {name: [] for name, _ in legs}
     for _trial in range(2):
