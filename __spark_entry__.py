@@ -150,6 +150,10 @@ _DEMOTED = (
     # ...and to 103 (html_table_rows — new, stays in the window); one
     # more r04-attested, unchanged row yields its slot
     "token_dedup_stats",
+    # ...and to 105 (url_template_mining, noindex_admission — new, stay
+    # in the window); two more r04-attested, unchanged rows yield
+    "latest_events_per_user",
+    "hourly_event_counts",
 )
 
 

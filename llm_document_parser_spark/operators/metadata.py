@@ -97,3 +97,27 @@ def page_metadata(df: DataFrame, html_col: str = "html_text") -> DataFrame:
             "declared_lang": declared_lang(h),
         }
     )
+
+
+def meta_robots(html: Column) -> Column:
+    """Lowercased content of ``<meta name="robots" …>`` ('' when absent).
+    Same extraction spec as the other meta fields (first match wins,
+    source-order attributes)."""
+    return F.lower(F.regexp_extract(html, _meta_named_re("name", "robots"), 1))
+
+
+def robots_noindex(html: Column) -> Column:
+    """True when the page's meta robots forbids indexing — ``noindex``
+    or the ``none`` shorthand (== noindex,nofollow). Curation pipelines
+    drop these pages: the publisher asked not to be indexed, and the
+    same courtesy extends to corpus inclusion."""
+    d = meta_robots(html)
+    return d.rlike(r"(^|[,\s])(noindex|none)([,\s]|$)")
+
+
+def robots_nofollow(html: Column) -> Column:
+    """True when meta robots forbids following links (``nofollow`` /
+    ``none``) — the outlink-extraction stage excludes these pages from
+    the crawl frontier."""
+    d = meta_robots(html)
+    return d.rlike(r"(^|[,\s])(nofollow|none)([,\s]|$)")

@@ -240,3 +240,43 @@ def with_registrable_domain(
     # host count is actually small.
     resolved = matched.select(host_col, reg.alias(out_col))
     return df.join(resolved, host_col, "left")
+
+
+# --- URL template mining (crawl-structure discovery) --------------------
+
+#: 8+ hex chars = an id-ish run (hashes, uuids-sans-dashes); applied
+#: BEFORE the digit rule so pure-digit runs of 8+ read as {hex} — one
+#: deterministic order, stated here, identical in the oracle.
+_HEX_RUN_RE = r"[0-9a-f]{8,}"
+
+
+def path_template(url: Column) -> Column:
+    """Generalize a URL's normalized path into its template: lowercase,
+    8+-char hex runs → ``{hex}``, remaining digit runs → ``{n}``.
+    Two crawls of ``/product/8812/view`` and ``/product/9177/view`` land
+    on the same ``/product/{n}/view`` key — the unit crawl engineers use
+    to spot infinite calendars, session-id traps, and which site sections
+    dominate a frontier. NULL for unparseable URLs (as canonical_url)."""
+    path, _ = _path_and_query(url)
+    t = F.regexp_replace(F.lower(path), _HEX_RUN_RE, "{hex}")
+    t = F.regexp_replace(t, r"\d+", "{n}")
+    return F.when(host_of(url) == "", F.lit(None).cast("string")).otherwise(t)
+
+
+def url_template_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, template, n_urls, example_url) — one groupBy; example is
+    the lexicographic min url (deterministic, oracle-matchable)."""
+    u = F.col(url_col)
+    return (
+        df.select(
+            host_of(u).alias("host"),
+            path_template(u).alias("template"),
+            u.alias("_u"),
+        )
+        .filter(F.col("template").isNotNull())
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("_u").alias("example_url"),
+        )
+    )

@@ -5160,3 +5160,104 @@ def html_table_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "table_idx", "row_idx", "cells"
     )
+
+
+@query(
+    "url_template_mining",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+        's' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host,
+        CASE doc_id % 5
+          WHEN 0 THEN '/product/' || CAST(doc_id AS VARCHAR) || '/view'
+          WHEN 1 THEN '/product/' || CAST(doc_id * 7 AS VARCHAR) || '/view'
+          WHEN 2 THEN '/u/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                      || '/profile'
+          WHEN 3 THEN '/about'
+          ELSE '/post/2024/03/item' || CAST(doc_id AS VARCHAR)
+        END AS path
+      FROM documents WHERE doc_id < 300
+    ), t AS (
+      SELECT host, 'https://' || host || path AS url,
+             regexp_replace(regexp_replace(lower(path),
+               '[0-9a-f]{8,}', '{hex}', 'g'), '\d+', '{n}', 'g') AS template
+      FROM u
+    )
+    SELECT host, template, count(*) AS n_urls, min(url) AS example_url
+    FROM t GROUP BY host, template
+    """,
+)
+def url_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (operators/urls.py path_template): id-ish path
+    segments generalize ({hex} for 8+ hex runs — md5 fragments here —
+    then {n} for digit runs) so two crawls of /product/8812 and
+    /product/9177 share one template key. Five path shapes over three
+    hosts; both engines generalize independently and aggregate
+    (count + lexicographic-min example) value-for-value."""
+    from .operators.urls import url_template_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    host = F.concat(F.lit("s"), (did % 3).cast("string"), F.lit(".example"))
+    path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/product/"), ds, F.lit("/view")))
+        .when(
+            did % 5 == 1,
+            F.concat(F.lit("/product/"), (did * 7).cast("string"), F.lit("/view")),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(F.lit("/u/"), F.substring(F.md5(ds), 1, 12), F.lit("/profile")),
+        )
+        .when(did % 5 == 3, F.lit("/about"))
+        .otherwise(F.concat(F.lit("/post/2024/03/item"), ds))
+    )
+    urls = d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    return url_template_stats(urls)
+
+
+@query(
+    "noindex_admission",
+    """
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'noindex, nofollow'
+        WHEN 1 THEN 'index,follow'
+        WHEN 2 THEN 'none'
+        WHEN 3 THEN 'nofollow'
+        WHEN 4 THEN ''
+        ELSE 'noindexing'
+      END AS robots_content,
+      (doc_id % 6) IN (0, 2) AS noindex,
+      (doc_id % 6) IN (0, 2, 3) AS nofollow
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def noindex_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots admission (operators/metadata.py meta_robots /
+    robots_noindex / robots_nofollow): six page shapes — comma+space
+    list, index/follow decoys whose substrings must NOT match, the
+    'none' shorthand, single-quoted attrs, uppercase NAME/CONTENT, no
+    tag at all, and 'noindexing' (a token-boundary trap). The oracle
+    states the expected verdicts arithmetically."""
+    from .operators.metadata import meta_robots, robots_nofollow, robots_noindex
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 6 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 6 == 1, F.lit('<meta name="robots" content="index,follow">'))
+        .when(did % 6 == 2, F.lit("<meta name='robots' content='none'>"))
+        .when(did % 6 == 3, F.lit('<META NAME="robots" CONTENT="NOFOLLOW">'))
+        .when(did % 6 == 4, F.lit('<meta name="description" content="x">'))
+        .otherwise(F.lit('<meta name="robots" content="noindexing">'))
+    )
+    html = F.concat(F.lit("<html><head><title>t</title>"), meta,
+                    F.lit("</head><body>b</body></html>"))
+    return d.select(
+        "doc_id",
+        meta_robots(html).alias("robots_content"),
+        robots_noindex(html).alias("noindex"),
+        robots_nofollow(html).alias("nofollow"),
+    )

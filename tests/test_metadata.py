@@ -71,3 +71,32 @@ def test_all_native_no_python_stage(spark):
     plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- meta robots directives ---
+
+from llm_document_parser_spark.operators.metadata import (
+    meta_robots,
+    robots_nofollow,
+    robots_noindex,
+)
+
+
+def test_meta_robots_directives(spark):
+    cases = [
+        ('<meta name="robots" content="noindex, nofollow">', True, True),
+        ('<meta name="robots" content="index,follow">', False, False),
+        ("<meta name='robots' content='none'>", True, True),
+        ('<META NAME="robots" CONTENT="NOFOLLOW">', False, True),
+        ("<p>no meta at all</p>", False, False),
+        ('<meta name="robots" content="noindexing">', False, False),
+        ('<meta name="robots" content="max-snippet:-1, noindex">', True, False),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "h string")
+    out = df.select(
+        robots_noindex(F.col("h")).alias("ni"),
+        robots_nofollow(F.col("h")).alias("nf"),
+        meta_robots(F.col("h")).alias("c"),
+    ).collect()
+    for (html, ni, nf), r in zip(cases, out):
+        assert (r["ni"], r["nf"]) == (ni, nf), html

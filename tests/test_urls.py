@@ -176,3 +176,38 @@ def test_registrable_domain_preserves_rows_and_columns(spark):
     out = with_registrable_domain(df)
     assert out.count() == 3  # distinct-host join back never drops/dups rows
     assert set(out.columns) == {"id", "host", "registrable_domain"}
+
+
+# --- URL template mining ---
+
+from llm_document_parser_spark.operators.urls import path_template, url_template_stats
+
+
+def test_path_template_generalization(spark):
+    cases = [
+        ("https://h.x/product/8812/view", "/product/{n}/view"),
+        ("https://h.x/u/deadbeef0123/profile", "/u/{hex}/profile"),
+        ("https://h.x/u/12345678/p", "/u/{hex}/p"),      # 8 digits = hex run
+        ("https://h.x/y/1234567/p", "/y/{n}/p"),          # 7 digits = {n}
+        ("https://h.x/About/V2", "/about/v{n}"),          # lowercased
+        ("https://h.x/", "/"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["t"] for r in df.select(path_template(F.col("url")).alias("t")).collect()]
+    assert got == [t for _, t in cases]
+
+
+def test_url_template_stats_groups_and_example(spark):
+    df = spark.createDataFrame(
+        [("https://h.x/p/2/v",), ("https://h.x/p/11/v",), ("https://h.x/a",)],
+        "url string",
+    )
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["example_url"])
+        for r in url_template_stats(df).collect()
+    }
+    assert got == {
+        ("h.x", "/p/{n}/v"): (2, "https://h.x/p/11/v"),
+        ("h.x", "/a"): (1, "https://h.x/a"),
+    }
