@@ -154,6 +154,9 @@ _DEMOTED = (
     # in the window); two more r04-attested, unchanged rows yield
     "latest_events_per_user",
     "hourly_event_counts",
+    # ...and to 106 (doc_compression_ratio — new rows-only entry, stays
+    # in the window); one more r04-attested, unchanged row yields
+    "order_status_cube",
 )
 
 

@@ -5261,3 +5261,18 @@ def noindex_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_noindex(html).alias("noindex"),
         robots_nofollow(html).alias("nofollow"),
     )
+
+
+@query("doc_compression_ratio")  # no SQL oracle: DuckDB has no deflate
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (operators/compression.py):
+    deflate(text)/octets per document. Rows-only driver check by design
+    — no compression scalar exists in DuckDB; correctness is pinned in
+    tests/test_compression.py against an independent direct-zlib
+    computation plus ordering/degrade properties."""
+    from .operators.compression import with_compression_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_compression_ratio(d).select(
+        "doc_id", F.round("compression_ratio", 6).alias("compression_ratio")
+    )
