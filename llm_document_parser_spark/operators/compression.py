@@ -61,6 +61,7 @@ def flag_compressible(
     out_col: str = "too_compressible",
 ) -> DataFrame:
     """Gopher-style boolean gate: True when the doc compresses below
-    ``max_ratio`` (or is empty) — the curation cascade drops these."""
+    ``max_ratio`` — or is empty/NULL (no content is also a drop) — the
+    curation cascade drops these."""
     r = compression_ratio_udf(F.col(text_col))
     return df.withColumn(out_col, F.coalesce(r <= max_ratio, F.lit(True)))
