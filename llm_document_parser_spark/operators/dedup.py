@@ -896,3 +896,118 @@ def cluster_representatives(
         score_col,
         F.first(id_col).over(w).alias("keep_id"),
     ).withColumn("keep", F.col(id_col) == F.col("keep_id"))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (superset / quote-inclusion detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directed shingle containment c(A->B) = |A ∩ B| / |A| (Broder 1997's
+    containment, the asymmetric companion of resemblance/Jaccard): how much
+    of document A's shingle set appears inside B. A short quote wholly
+    embedded in a long page scores c ≈ 1.0 while its Jaccard is tiny —
+    the case symmetric near-dup tiers structurally miss (a training-data
+    concern: aggregation pages re-hosting whole short documents).
+
+    Returns (id_a, id_b, containment) for ORDERED pairs id_a != id_b with
+    c(A->B) >= threshold; both directions are reported independently
+    (c(A->B) high + c(B->A) low is precisely the subset signal).
+
+    Verification tier, O(n²) like jaccard_pairs — at corpus scale feed it
+    LSH candidates instead (compose with minhash_candidate_pairs exactly
+    as verified_near_dup_pairs does; containment-biased candidates want
+    per-band keys from the SHORTER side's signature, which banded MinHash
+    already approximates for c >= the band threshold).
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    cont = F.round(inter / F.size("sh_a").cast("double"), 6)
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (length-banded blocking + native levenshtein)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 8,
+    band: int = 64,
+) -> DataFrame:
+    """Near-identical document pairs under TRUE edit distance: length-banded
+    candidate blocking, then Spark's native banded-DP ``levenshtein(l, r,
+    threshold)`` verify (O(len·max_dist) per pair, not O(len²)).
+
+    Completeness argument (pigeonhole): ``|len(a) - len(b)| <=
+    levenshtein(a, b)``, so with bucket width ``band >= max_dist`` every
+    within-threshold pair lands in the same or an adjacent length bucket.
+    The probe side emits (bucket, bucket+1) keys; same-bucket matches are
+    kept once via id order, cross-bucket matches are oriented by the
+    bucket step, and ids are normalized afterwards — each unordered pair
+    verifies exactly once.
+
+    Plan shape at scale: one narrow projection -> explode 2 probe keys ->
+    bucket equi-join -> length pre-filter -> per-row banded levenshtein.
+    The quadratic risk concentrates in a single hot length bucket (e.g.
+    a corpus of fixed-size templated pages); blend in a second blocking
+    key there (dedup-family digest prefix, or run on LSH candidates) —
+    the same escalation path every banded tier in this module documents.
+
+    Returns (id_a, id_b, edit_dist) with id_a < id_b and edit_dist in
+    [0, max_dist].
+    """
+    if band < max_dist:
+        raise ValueError("band must be >= max_dist for adjacency to cover")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.floor(F.length(text_col) / band).cast("long").alias("bkt"),
+    )
+    probes = base.select(
+        F.col("id").alias("id_p"),
+        F.col("t").alias("t_p"),
+        F.col("bkt").alias("bkt_own"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("bkt_probe"),
+    )
+    joined = probes.join(
+        base.select(
+            F.col("id").alias("id_q"), F.col("t").alias("t_q"), F.col("bkt")
+        ),
+        F.col("bkt_probe") == F.col("bkt"),
+    ).filter(
+        # same bucket: keep one orientation; adjacent: orientation is the
+        # bucket step itself (own -> own+1), unique per unordered pair
+        ((F.col("bkt_own") == F.col("bkt")) & (F.col("id_p") < F.col("id_q")))
+        | (F.col("bkt_own") != F.col("bkt"))
+    ).filter(
+        F.abs(F.length("t_p") - F.length("t_q")) <= max_dist
+    )
+    dist = F.levenshtein(F.col("t_p"), F.col("t_q"), max_dist)
+    return (
+        joined.select(
+            F.least("id_p", "id_q").alias("id_a"),
+            F.greatest("id_p", "id_q").alias("id_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )

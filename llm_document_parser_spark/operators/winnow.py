@@ -1,0 +1,150 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm), as native DataFrame expressions.
+
+Winnowing selects, from the rolling k-gram hash sequence of a document,
+the minimum hash of every w-hash window. The selected set is a *local*
+fingerprint: any substring shared between two documents of length
+``>= w + k - 1`` characters is GUARANTEED to contribute at least one
+common fingerprint — a recall guarantee MinHash (a global, probabilistic
+sketch) cannot make. Expected density is ``2 / (w + 1)`` of the gram
+positions, so the index stays small.
+
+This is the partial-overlap / plagiarism / quote-detection tier of the
+dedup family (dedup.py holds the whole-document tiers):
+
+* ``winnow_fingerprints``   — per-document selected-hash set (the index)
+* ``winnow_overlap_pairs``  — pairs sharing >= min_shared fingerprints,
+                              via one fingerprint-keyed equi-join
+
+Everything is per-row higher-order functions over md5 hex strings (the
+oracle-portable hash; lexicographic min == hash min) — zero Python, and
+zero shuffles until the one equi-join pairing fundamentally needs.
+
+At 10^12 documents: the fingerprint table is ~2/(w+1) rows per gram —
+explode it, equi-join on the fingerprint value, AQE skew-split handles
+hot fingerprints, and ``max_df`` drops corpus-wide boilerplate
+fingerprints (a distinct-doc count filter, same discipline as
+dedup.strip_frequent_lines) before they can form near-cross-products.
+Persist (fingerprint, id) bucketed by fingerprint and the pair join is
+exchange-free on reuse (storage.write_bucketed).
+
+Reference scope note: the reference engine has no sub-document overlap
+detection at all (its dedup surface is per-field exact values,
+src/document_parser.py); this operator family is part of the
+LLM-training-pipeline tier the brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _clean(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text (the dedup-family normalization,
+    identical to dedup.normalized_digest's preimage)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def gram_hashes(text: Column, k: int = 5) -> Column:
+    """ARRAY<STRING> of md5 hex hashes of the character k-grams of the
+    normalized text, in position order. < k chars -> empty array."""
+    clean = _clean(text)
+    n = F.length(clean)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.md5(F.substr(clean, i, F.lit(k))))
+
+
+def winnow_from_grams(hs: Column, w: int = 4) -> Column:
+    """The winnowed fingerprint SET (distinct selected hashes) from an
+    ALREADY-MATERIALIZED gram-hash array column: min hash of every
+    w-window over the sequence.
+
+    Documents with fewer than w grams (but at least one) select the
+    single global minimum — the standard short-document degeneration;
+    gram-less documents select nothing.
+
+    ``hs`` MUST be a real column (a prior projection), not the inline
+    ``gram_hashes`` expression: the window ``transform`` lambda slices
+    ``hs`` once per window, and Catalyst does not common-subexpression-
+    eliminate inside higher-order-function lambdas — an inline gram
+    expression would be RECOMPUTED per window, turning the O(n·w) scan
+    into O(n²) md5 work (measured: a 3 KB document never finishes).
+    ``winnow_fingerprints`` stages the projections correctly.
+    """
+    g = F.size(hs)
+    win_idx = F.when(
+        g > 0, F.sequence(F.lit(1), F.greatest(g - (w - 1), F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+    # slice clamps at the array end, so the G < w degenerate window is the
+    # whole sequence — no special case needed beyond win upper bound 1
+    return F.array_distinct(
+        F.transform(win_idx, lambda i: F.array_min(F.slice(hs, i, w)))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fingerprints ARRAY<STRING>) — one row per input document.
+
+    Two staged projections: grams materialize once per row, then the
+    window minima slice the stored array (see ``winnow_from_grams`` for
+    why collapsing these into one expression is quadratic). Catalyst's
+    CollapseProject keeps them apart — the gram expression is non-cheap
+    and multiply-referenced — asserted by tests/test_winnow.py's
+    density-bound timing canary."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        gram_hashes(F.col(text_col), k).alias("_hs"),
+    )
+    return grams.select(
+        "id", winnow_from_grams(F.col("_hs"), w).alias("fingerprints")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, shared_fps) — document pairs sharing at least
+    ``min_shared`` winnowed fingerprints, id_a < id_b.
+
+    Plan shape: narrow per-row fingerprint HOF -> explode -> (optional
+    hot-fingerprint drop) -> one equi-join keyed on the fingerprint value
+    -> pair groupBy. No cross product; the join fan-out per fingerprint
+    is its document frequency, which ``max_df`` bounds (fingerprints in
+    more than max_df documents are site chrome / license boilerplate,
+    not overlap evidence — the same reasoning as frequent-line removal).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    ex = fps.select("id", F.explode("fingerprints").alias("fp"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        ex = ex.join(F.broadcast(hot), "fp", "left_anti")
+    other = ex.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        ex.join(
+            other,
+            (F.col("fp") == F.col("fp_b")) & (F.col("id") < F.col("id_b")),
+        )
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
