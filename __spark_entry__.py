@@ -157,6 +157,21 @@ _DEMOTED = (
     # ...and to 106 (doc_compression_ratio — new rows-only entry, stays
     # in the window); one more r04-attested, unchanged row yields
     "order_status_cube",
+    # ...and to 113 (winnow_overlap_pairs, shingle_containment_pairs,
+    # edit_distance_dups, feed_link_discovery, rss_channel_items,
+    # sitemap_shapes, page_jsonld_fields — new, stay in the window).
+    # Seven more yield: the four remaining r04-attested rows (their
+    # round-5 operator changes are driver-attested via the dedicated new
+    # queries robots_wildcard_admission / decontaminate_docs_bloom and
+    # machine-attested via CHECK_FULL_r05) and three long-stable r03-era
+    # event rows with standing pytest coverage.
+    "robots_admission",
+    "decontaminate_docs",
+    "page_charset_decode",
+    "anchor_text_stats",
+    "events_facets",
+    "events_summary",
+    "event_scalar_funcs",
 )
 
 

@@ -121,3 +121,44 @@ def robots_nofollow(html: Column) -> Column:
     the crawl frontier."""
     d = meta_robots(html)
     return d.rlike(r"(^|[,\s])(nofollow|none)([,\s]|$)")
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data (schema.org embedded metadata)
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = (
+    r"""(?is)<script\s[^>]*type\s*=\s*["']application/ld\+json["']"""
+    r"""[^>]*>(.*?)</script"""
+)
+
+
+def jsonld_block(html: Column) -> Column:
+    """Raw text of the FIRST ``<script type="application/ld+json">`` block
+    ('' when absent) — same first-match spec as the meta fields. News
+    articles carry headline/datePublished/author here far more reliably
+    than in visible markup; dedup of syndicated articles keys on it."""
+    return F.trim(F.regexp_extract(html, _JSONLD_RE, 1))
+
+
+def jsonld_field(html: Column, path: str) -> Column:
+    """A JSON-path field from the first JSON-LD block. NULL when the block
+    is absent, invalid JSON, or lacks the key — Spark's ``get_json_object``
+    null-on-anything contract (the oracle mirrors it by guarding DuckDB's
+    stricter json functions behind ``json_valid``). Use bracket syntax for
+    @-keys: ``$['@type']``."""
+    return F.get_json_object(jsonld_block(html), path)
+
+
+def page_jsonld(df: DataFrame, html_col: str = "html_text") -> DataFrame:
+    """Append the four headline JSON-LD columns (the schema.org Article
+    core): jsonld_type, headline, date_published, author_name."""
+    h = F.col(html_col)
+    return df.withColumns(
+        {
+            "jsonld_type": jsonld_field(h, "$['@type']"),
+            "headline": jsonld_field(h, "$.headline"),
+            "date_published": jsonld_field(h, "$.datePublished"),
+            "author_name": jsonld_field(h, "$.author.name"),
+        }
+    )

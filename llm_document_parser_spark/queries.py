@@ -5276,3 +5276,448 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_compression_ratio(d).select(
         "doc_id", F.round("compression_ratio", 6).alias("compression_ratio")
     )
+
+
+@query(
+    "winnow_overlap_pairs",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 1000, text || ' appended tail words'
+      FROM documents WHERE doc_id < 8
+    ), t AS (
+      SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS clean
+      FROM base
+    ), g AS (
+      SELECT id, list_transform(range(1, greatest(length(clean) - 9, 0) + 1),
+               i -> md5(substr(clean, i, 10))) AS hs
+      FROM t
+    ), f AS (
+      SELECT id, list_distinct(CASE WHEN len(hs) = 0 THEN CAST([] AS VARCHAR[])
+        ELSE list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+               i -> list_min(hs[i:i+4])) END) AS fps
+      FROM g
+    ), e AS (SELECT id, unnest(fps) AS fp FROM f)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared_fps
+    FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING count(*) >= 8
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (operators/winnow.py; Schleimer et al.
+    SIGMOD 2003): char-10-gram md5 hashes, window-5 minima, distinct
+    selected set per doc; pairs sharing >= 8 fingerprints via one
+    fingerprint-keyed equi-join. Eight planted tail-edited copies
+    (id+1000) must surface (they share >= 22 fingerprints at this
+    geometry — the w+k-1 = 14-char shared-substring guarantee at work);
+    the natural high-overlap tail of the shared-vocabulary corpus comes
+    with them. Both engines compute grams, window minima and the pair
+    join independently."""
+    from .operators.winnow import winnow_overlap_pairs as _wop
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 40).select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail words")).alias("text"),
+        )
+    )
+    return _wop(base, k=10, w=5, min_shared=8).select(
+        "id_a", "id_b", "shared_fps"
+    )
+
+
+@query(
+    "shingle_containment_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id < 25
+      UNION ALL
+      SELECT doc_id + 2000, array_to_string(string_split(text, ' ')[1:12], ' ')
+      FROM documents WHERE doc_id < 6
+    ), tok AS (SELECT id, string_split(lower(text), ' ') AS tk FROM base),
+    sh AS (SELECT id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+           FROM tok WHERE len(tk) >= 3)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 6) AS containment
+    FROM sh a JOIN sh b ON a.id <> b.id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh), 6) >= 0.9
+    """,
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment (operators/dedup.py containment_pairs;
+    Broder 1997): c(A->B) = |A∩B|/|A| over 3-word shingles. Six planted
+    12-word excerpts (id+2000) are wholly contained in their source docs
+    — containment ~1.0 toward the source while Jaccard is small, the
+    subset signal symmetric near-dup tiers miss. Both directions are
+    scored; only the quote->source direction clears 0.9."""
+    from .operators.dedup import containment_pairs as _cp
+
+    d = _t(spark, sf_dir, "documents")
+    quote = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ")
+    base = d.filter(F.col("doc_id") < 25).select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") < 6).select(
+            (F.col("doc_id") + 2000).alias("doc_id"), quote.alias("text")
+        )
+    )
+    return _cp(base, threshold=0.9)
+
+
+@query(
+    "edit_distance_dups",
+    """
+    WITH d30 AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    base AS (
+      SELECT doc_id AS id, text AS t FROM d30
+      UNION ALL SELECT doc_id + 3000, text || ' xyz' FROM d30 WHERE doc_id < 5
+      UNION ALL SELECT doc_id + 4000, text FROM d30 WHERE doc_id < 5
+      UNION ALL SELECT doc_id + 5000, text || ' aaaaaaaaaaaaaaaaaaaa'
+                FROM d30 WHERE doc_id < 5
+    ), b AS (
+      SELECT id, t, CAST(floor(length(t) / 16) AS BIGINT) AS bkt FROM base
+    ), p AS (
+      SELECT id AS id_p, t AS t_p, bkt AS bkt_own,
+             unnest([bkt, bkt + 1]) AS bkt_probe
+      FROM b
+    ), j AS (
+      SELECT id_p, t_p, q.id AS id_q, q.t AS t_q
+      FROM p JOIN b q ON p.bkt_probe = q.bkt
+      WHERE ((p.bkt_own = q.bkt AND p.id_p < q.id) OR p.bkt_own <> q.bkt)
+        AND abs(length(p.t_p) - length(q.t)) <= 6
+    )
+    SELECT least(id_p, id_q) AS id_a, greatest(id_p, id_q) AS id_b,
+           CAST(levenshtein(t_p, t_q) AS BIGINT) AS edit_dist
+    FROM j WHERE levenshtein(t_p, t_q) <= 6
+    """,
+)
+def edit_distance_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-edit-distance near-dups (operators/dedup.py
+    edit_distance_near_dups): length-banded blocking (band 16 >= max_dist
+    6, pigeonhole-complete over adjacent buckets), Spark's banded-DP
+    ``levenshtein(l, r, threshold)`` verify. Planted: ' xyz' suffix
+    copies (distance 4), byte-identical copies (distance 0), and a
+    20-char suffix family that must be EXCLUDED (distance 21). The oracle
+    replays the identical bucket/probe/orientation algebra with DuckDB's
+    independent levenshtein."""
+    from .operators.dedup import edit_distance_near_dups as _ed
+
+    d30 = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        "doc_id", "text"
+    )
+    p5 = d30.filter(F.col("doc_id") < 5)
+    base = (
+        d30.unionByName(
+            p5.select((F.col("doc_id") + 3000).alias("doc_id"),
+                      F.concat("text", F.lit(" xyz")).alias("text"))
+        )
+        .unionByName(
+            p5.select((F.col("doc_id") + 4000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            p5.select((F.col("doc_id") + 5000).alias("doc_id"),
+                      F.concat("text", F.lit(" aaaaaaaaaaaaaaaaaaaa")).alias("text"))
+        )
+    )
+    return _ed(base, max_dist=6, band=16)
+
+
+# ===========================================================================
+# Syndication & discovery XML (operators/feeds.py)
+# ===========================================================================
+
+
+@query(
+    "feed_link_discovery",
+    r"""
+    WITH p AS (
+      SELECT 'page://' || CAST(doc_id AS VARCHAR) AS id,
+        '<html><head><link rel="stylesheet" href="/s.css">'
+        || CASE WHEN doc_id % 3 = 0 THEN ''
+             WHEN doc_id % 3 = 1 THEN
+               '<link rel="alternate" type="application/rss+xml" href="https://h'
+               || CAST(doc_id % 5 AS VARCHAR) || '.example/feed'
+               || CAST(doc_id AS VARCHAR) || '.xml">'
+             ELSE
+               '<LINK type="application/atom+xml" href=''https://h'
+               || CAST(doc_id % 5 AS VARCHAR) || '.example/atom'
+               || CAST(doc_id AS VARCHAR) || '.xml''>'
+           END
+        || '<link rel="canonical" href="https://c.example/"></head></html>'
+        AS html
+      FROM documents WHERE doc_id < 80
+    ), m AS (
+      SELECT id,
+        regexp_extract_all(html,
+          '(?is)<link\s[^>]*type\s*=\s*["'']application/(rss|atom)\+xml["'']'
+          || '[^>]*href\s*=\s*["'']([^"'']*)', 1) AS ks,
+        regexp_extract_all(html,
+          '(?is)<link\s[^>]*type\s*=\s*["'']application/(rss|atom)\+xml["'']'
+          || '[^>]*href\s*=\s*["'']([^"'']*)', 2) AS us
+      FROM p
+    )
+    SELECT id, lower(unnest(ks)) AS feed_kind, trim(unnest(us)) AS feed_url
+    FROM m
+    """,
+)
+def feed_link_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed advertisement discovery (operators/feeds.py
+    feed_links): synthetic pages where doc_id%3 picks no-feed / rss /
+    atom (uppercase tag, single-quoted attrs), with stylesheet and
+    canonical <link> distractors that must NOT match. Both engines run
+    the character-identical RE2-portable regex independently; no-feed
+    pages contribute zero rows."""
+    from .operators.feeds import feed_links
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    did = F.col("doc_id")
+    hostn = (did % 5).cast("string")
+    rss = F.concat(
+        F.lit('<link rel="alternate" type="application/rss+xml" href="https://h'),
+        hostn, F.lit(".example/feed"), did.cast("string"), F.lit('.xml">'),
+    )
+    atom = F.concat(
+        F.lit("<LINK type=\"application/atom+xml\" href='https://h"),
+        hostn, F.lit(".example/atom"), did.cast("string"), F.lit(".xml'>"),
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.when(did % 3 == 0, F.lit(""))
+        .when(did % 3 == 1, rss)
+        .otherwise(atom),
+        F.lit('<link rel="canonical" href="https://c.example/"></head></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("page://"), did.cast("string")).alias("url"),
+        html.alias("html_text"),
+    )
+    return feed_links(pages)
+
+
+@query(
+    "rss_channel_items",
+    r"""
+    WITH f AS (
+      SELECT 'feed://' || CAST(doc_id AS VARCHAR) AS id,
+        '<rss><channel><title>Chan</title><link>https://c.example/</link>'
+        || '<item><title> Doc ' || CAST(doc_id AS VARCHAR)
+        || ' news </title><link>https://h' || CAST(doc_id % 5 AS VARCHAR)
+        || '.example/p' || CAST(doc_id AS VARCHAR)
+        || '</link><pubDate>Mon, 0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+        || ' Jan 2024</pubDate></item>'
+        || CASE WHEN doc_id % 2 = 0 THEN
+             '<ITEM><link>https://h' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example/q' || CAST(doc_id AS VARCHAR) || '</link></ITEM>'
+           ELSE '' END
+        || '</channel></rss>' AS xml
+      FROM documents WHERE doc_id < 60
+    ), b AS (
+      SELECT id,
+        regexp_extract_all(xml, '(?is)<item[\s>].*?</item>', 0) AS blocks
+      FROM f
+    ), e AS (
+      SELECT id,
+        unnest(range(1, len(blocks) + 1)) AS item_idx,
+        unnest(blocks) AS block
+      FROM b
+    )
+    SELECT id, CAST(item_idx AS BIGINT) AS item_idx,
+      trim(regexp_extract(block, '(?is)<title[^>]*>\s*(.*?)\s*</title', 1)) AS title,
+      trim(regexp_extract(block, '(?is)<link[^>]*>\s*(.*?)\s*</link', 1)) AS link,
+      trim(regexp_extract(block, '(?is)<pubdate[^>]*>\s*(.*?)\s*</pubdate', 1))
+        AS pub_date
+    FROM e
+    """,
+)
+def rss_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 item parsing (operators/feeds.py rss_items): block-level
+    <item> extraction then per-block field regexes. Even docs carry a
+    second uppercase <ITEM> with title and pubDate absent ('' per the
+    metadata.py convention); channel-level <title>/<link> sit outside
+    item blocks and must not leak in. Oracle replays block + field
+    regexes with DuckDB RE2 and zip-unnests positional indices."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    did = F.col("doc_id")
+    hostn = (did % 5).cast("string")
+    second = F.concat(
+        F.lit("<ITEM><link>https://h"), hostn, F.lit(".example/q"),
+        did.cast("string"), F.lit("</link></ITEM>"),
+    )
+    xml = F.concat(
+        F.lit("<rss><channel><title>Chan</title><link>https://c.example/</link>"),
+        F.lit("<item><title> Doc "), did.cast("string"),
+        F.lit(" news </title><link>https://h"), hostn, F.lit(".example/p"),
+        did.cast("string"), F.lit("</link><pubDate>Mon, 0"),
+        (did % 9 + 1).cast("string"), F.lit(" Jan 2024</pubDate></item>"),
+        F.when(did % 2 == 0, second).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    feeds = d.select(
+        F.concat(F.lit("feed://"), did.cast("string")).alias("url"),
+        xml.alias("xml_text"),
+    )
+    from .operators.feeds import rss_items as _ri
+
+    return _ri(feeds)
+
+
+@query(
+    "sitemap_shapes",
+    r"""
+    WITH s AS (
+      SELECT 'sm://' || CAST(doc_id AS VARCHAR) AS id, doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN
+          '<urlset><url><loc>https://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.example/a' || CAST(doc_id AS VARCHAR)
+          || '</loc><lastmod>2024-01-02</lastmod></url><url><loc>'
+          || chr(10) || ' https://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.example/b' || CAST(doc_id AS VARCHAR) || ' </loc></url></urlset>'
+        ELSE
+          '<sitemapindex><sitemap><loc>https://h'
+          || CAST(doc_id % 5 AS VARCHAR) || '.example/sm'
+          || CAST(doc_id AS VARCHAR) || '.xml</loc></sitemap></sitemapindex>'
+        END AS xml
+      FROM documents WHERE doc_id < 50
+    ), k AS (
+      SELECT id, 'url' AS kind,
+        regexp_extract_all(xml, '(?is)<url[\s>].*?</url>', 0) AS blocks
+      FROM s
+      UNION ALL
+      SELECT id, 'sitemap',
+        regexp_extract_all(xml, '(?is)<sitemap[\s>].*?</sitemap>', 0)
+      FROM s
+    ), e AS (
+      SELECT id, kind,
+        unnest(range(1, len(blocks) + 1)) AS entry_idx,
+        unnest(blocks) AS block
+      FROM k
+    )
+    SELECT id, kind, CAST(entry_idx AS BIGINT) AS entry_idx,
+      trim(regexp_extract(block, '(?is)<loc[^>]*>\s*(.*?)\s*</loc', 1)) AS loc,
+      trim(regexp_extract(block, '(?is)<lastmod[^>]*>\s*(.*?)\s*</lastmod', 1))
+        AS lastmod
+    FROM e
+    """,
+)
+def sitemap_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing, BOTH document shapes in one pass (operators/
+    feeds.py sitemap_entries): even docs are urlset pages (two <url>
+    entries, one whitespace-padded loc, one missing lastmod), odd docs
+    are sitemapindex documents pointing at child sitemaps the frontier
+    must fetch next. A urlset page contributes zero kind='sitemap' rows
+    and vice versa — the oracle replays both block regexes and unions."""
+    from .operators.feeds import sitemap_entries
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    did = F.col("doc_id")
+    hostn = (did % 5).cast("string")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://h"), hostn, F.lit(".example/a"),
+        did.cast("string"),
+        F.lit("</loc><lastmod>2024-01-02</lastmod></url><url><loc>\n https://h"),
+        hostn, F.lit(".example/b"), did.cast("string"),
+        F.lit(" </loc></url></urlset>"),
+    )
+    smindex = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://h"), hostn,
+        F.lit(".example/sm"), did.cast("string"),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    docs = d.select(
+        F.concat(F.lit("sm://"), did.cast("string")).alias("url"),
+        F.when(did % 2 == 0, urlset).otherwise(smindex).alias("xml_text"),
+    )
+    return sitemap_entries(docs)
+
+
+# ===========================================================================
+# JSON-LD structured data (operators/metadata.py page_jsonld)
+# ===========================================================================
+
+
+@query(
+    "page_jsonld_fields",
+    r"""
+    WITH p AS (
+      SELECT 'page://' || CAST(doc_id AS VARCHAR) AS url,
+        CASE WHEN doc_id % 5 = 4 THEN '<html><body>no ld</body></html>'
+          WHEN doc_id % 5 = 3 THEN
+            '<html><script type="application/ld+json">{broken'
+            || CAST(doc_id AS VARCHAR) || '</script></html>'
+          ELSE
+            '<html><head><SCRIPT type=''application/ld+json''> {"@type": "'
+            || CASE WHEN doc_id % 2 = 0 THEN 'NewsArticle' ELSE 'BlogPosting' END
+            || '", "headline": "Doc ' || CAST(doc_id AS VARCHAR)
+            || '", "datePublished": "2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+            || '-01"'
+            || CASE WHEN doc_id % 3 = 0 THEN
+                 ', "author": {"name": "W' || CAST(doc_id % 4 AS VARCHAR) || '"}'
+               ELSE '' END
+            || '} </script><script type="application/ld+json">'
+            || '{"@type": "Decoy"}</script></head></html>'
+        END AS html
+      FROM documents WHERE doc_id < 70
+    ), b AS (
+      SELECT url,
+        trim(regexp_extract(html,
+          '(?is)<script\s[^>]*type\s*=\s*["'']application/ld\+json["'']'
+          || '[^>]*>(.*?)</script', 1)) AS blk
+      FROM p
+    )
+    SELECT url,
+      CASE WHEN json_valid(blk) THEN json_extract_string(blk, '$."@type"') END
+        AS jsonld_type,
+      CASE WHEN json_valid(blk) THEN json_extract_string(blk, '$.headline') END
+        AS headline,
+      CASE WHEN json_valid(blk)
+        THEN json_extract_string(blk, '$.datePublished') END AS date_published,
+      CASE WHEN json_valid(blk)
+        THEN json_extract_string(blk, '$.author.name') END AS author_name
+    FROM b
+    """,
+)
+def page_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (operators/metadata.py page_jsonld):
+    first-ld+json-block regex (uppercase tag, single-quoted attr, a
+    second Decoy block that must lose first-match), then native
+    get_json_object field pulls. doc_id%5 plants broken-JSON and
+    no-block pages — every field NULL for both, per the
+    null-on-anything contract; %3 controls nested author presence.
+    Oracle guards DuckDB's stricter json functions behind json_valid."""
+    from .operators.metadata import page_jsonld
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 70)
+    did = F.col("doc_id")
+    author = F.concat(
+        F.lit(', "author": {"name": "W'), (did % 4).cast("string"), F.lit('"}'),
+    )
+    valid = F.concat(
+        F.lit("<html><head><SCRIPT type='application/ld+json'> {\"@type\": \""),
+        F.when(did % 2 == 0, F.lit("NewsArticle")).otherwise(F.lit("BlogPosting")),
+        F.lit('", "headline": "Doc '), did.cast("string"),
+        F.lit('", "datePublished": "2024-0'), (did % 9 + 1).cast("string"),
+        F.lit('-01"'),
+        F.when(did % 3 == 0, author).otherwise(F.lit("")),
+        F.lit('} </script><script type="application/ld+json">'),
+        F.lit('{"@type": "Decoy"}</script></head></html>'),
+    )
+    broken = F.concat(
+        F.lit('<html><script type="application/ld+json">{broken'),
+        did.cast("string"), F.lit("</script></html>"),
+    )
+    html = (
+        F.when(did % 5 == 4, F.lit("<html><body>no ld</body></html>"))
+        .when(did % 5 == 3, broken)
+        .otherwise(valid)
+    )
+    pages = d.select(
+        F.concat(F.lit("page://"), did.cast("string")).alias("url"),
+        html.alias("html_text"),
+    )
+    return page_jsonld(pages).select(
+        "url", "jsonld_type", "headline", "date_published", "author_name"
+    )
