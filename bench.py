@@ -196,6 +196,21 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: winnowing partial-overlap pairs at extraction scale ---
+    # The sub-document tier (quote/plagiarism detection) over the same 50k
+    # real pages: char-10-gram xxhash64, window-9 minima (expected density
+    # 2/(w+1) = 0.2 of gram positions), max_df=50 drops boilerplate
+    # fingerprints before the fingerprint-keyed pair join can fan out.
+    from llm_document_parser_spark.operators import winnow as wn
+
+    add_leg(
+        "winnow_pairs_50k",
+        lambda: wn.winnow_overlap_pairs(
+            docs50k, id_col="url", text_col="extracted_text",
+            k=10, w=9, min_shared=4, max_df=50, hash_fn="fast",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # --- timed: benchmark decontamination at extraction scale ---
     # 500 eval items (12-word prefixes of the sf documents) against the
     # same 50k real extracted pages: corpus 8-grams explode map-side and

@@ -46,14 +46,24 @@ def _clean(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
-def gram_hashes(text: Column, k: int = 5) -> Column:
-    """ARRAY<STRING> of md5 hex hashes of the character k-grams of the
-    normalized text, in position order. < k chars -> empty array."""
+def gram_hashes(text: Column, k: int = 5, hash_fn: str = "md5") -> Column:
+    """Hashes of the character k-grams of the normalized text, in
+    position order; < k chars -> empty array.
+
+    ``hash_fn="md5"`` (default) yields ARRAY<STRING> of hex digests —
+    the oracle-portable mode (DuckDB computes identical values;
+    lexicographic min == hash min). ``"fast"`` yields ARRAY<BIGINT> of
+    ``xxhash64`` values — the production mode: 8-byte longs instead of
+    32-char strings cut the per-document gram array ~8× and make window
+    minima integer compares, the same md5/fast split as
+    dedup.minhash_signatures."""
     clean = _clean(text)
     n = F.length(clean)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
+    if hash_fn == "fast":
+        return F.transform(idx, lambda i: F.xxhash64(F.substr(clean, i, F.lit(k))))
     return F.transform(idx, lambda i: F.md5(F.substr(clean, i, F.lit(k))))
 
 
@@ -91,8 +101,10 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     w: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, fingerprints ARRAY<STRING>) — one row per input document.
+    """(id, fingerprints) — one row per input document; element type is
+    STRING (md5 hex) or BIGINT (``hash_fn="fast"``), see gram_hashes.
 
     Two staged projections: grams materialize once per row, then the
     window minima slice the stored array (see ``winnow_from_grams`` for
@@ -102,7 +114,7 @@ def winnow_fingerprints(
     density-bound timing canary."""
     grams = df.select(
         F.col(id_col).alias("id"),
-        gram_hashes(F.col(text_col), k).alias("_hs"),
+        gram_hashes(F.col(text_col), k, hash_fn).alias("_hs"),
     )
     return grams.select(
         "id", winnow_from_grams(F.col("_hs"), w).alias("fingerprints")
@@ -117,6 +129,7 @@ def winnow_overlap_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id_a, id_b, shared_fps) — document pairs sharing at least
     ``min_shared`` winnowed fingerprints, id_a < id_b.
@@ -128,8 +141,16 @@ def winnow_overlap_pairs(
     more than max_df documents are site chrome / license boilerplate,
     not overlap evidence — the same reasoning as frequent-line removal).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
-    ex = fps.select("id", F.explode("fingerprints").alias("fp"))
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
+    # Materialize the exploded fingerprint table ONCE: it feeds the hot-
+    # fingerprint count AND both sides of the pair self-join — without the
+    # lineage cut the whole gram+window computation re-runs three times
+    # (the bpe_train lesson: measured 10× on 50k pages). At corpus scale,
+    # persist this table bucketed by fp instead (storage.write_bucketed)
+    # and the pair join is exchange-free on reuse.
+    ex = fps.select(
+        "id", F.explode("fingerprints").alias("fp")
+    ).localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             ex.groupBy("fp")

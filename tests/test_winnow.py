@@ -118,3 +118,19 @@ def test_null_text_yields_empty(spark):
     fps = {r["id"]: r["fingerprints"] for r in winnow_fingerprints(df).collect()}
     assert fps[1] is None or fps[1] == []
     assert winnow_overlap_pairs(df, min_shared=1).count() == 0
+
+
+def test_fast_mode_guarantee_and_types(spark):
+    # xxhash64 production mode: different hash => different selected
+    # POSITIONS than md5 mode, but the w+k-1 shared-substring guarantee
+    # is hash-agnostic — the planted pair must still surface, with
+    # BIGINT fingerprints (8-byte longs, not 32-char hex).
+    shared = "zqxjkwvb"
+    rows = [(1, f"aaaa{shared}aaaaaaa"), (2, f"tttttttt{shared}tt")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=K, w=W, hash_fn="fast")
+    assert dict(fps.dtypes)["fingerprints"] == "array<bigint>"
+    pairs = winnow_overlap_pairs(
+        df, k=K, w=W, min_shared=1, hash_fn="fast"
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
