@@ -172,6 +172,10 @@ _DEMOTED = (
     "events_facets",
     "events_summary",
     "event_scalar_funcs",
+    # ...and to 114 (source_quality_tiers — new, stays in the window);
+    # one more long-stable r03-era row with standing pytest coverage
+    # yields its slot
+    "top_orders",
 )
 
 

@@ -5721,3 +5721,48 @@ def page_jsonld_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_jsonld(pages).select(
         "url", "jsonld_type", "headline", "date_published", "author_name"
     )
+
+
+@query(
+    "source_quality_tiers",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source, CAST(len(l) AS BIGINT) AS toks,
+             CASE WHEN len(l) > 0
+                  THEN len(list_distinct(l)) / CAST(len(l) AS DOUBLE)
+                  ELSE 0.0 END AS ttr
+      FROM t
+    ), s AS (
+      SELECT source, round(avg(ttr), 6) AS source_score
+      FROM d GROUP BY source
+    ), tiered AS (
+      SELECT source, source_score,
+             CAST(ntile(4) OVER (ORDER BY source_score DESC, source)
+                  AS BIGINT) AS source_tier
+      FROM s
+    )
+    SELECT d.doc_id, d.source, tiered.source_score, tiered.source_tier
+    FROM d JOIN tiered USING (source)
+    """,
+)
+def source_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality prior (operators/tiers.py): mean type-token
+    ratio per source (6 dp), sources cut into 4 quality tiers by a
+    window over the 20-row source table, tier broadcast-joined back to
+    every document. Both engines tokenize, score, tier and join
+    independently and must agree on every document's source score and
+    tier — covering the rollup, the deterministic tie-broken ntile cut,
+    and the join-back."""
+    from .operators.tiers import docs_with_source_tier
+
+    d = _t(spark, sf_dir, "documents")
+    return docs_with_source_tier(d, "doc_id", "text", "source", 4).select(
+        F.col("id").alias("doc_id"),
+        F.col("grp").alias("source"),
+        "source_score",
+        "source_tier",
+    )
