@@ -172,10 +172,11 @@ _DEMOTED = (
     "events_facets",
     "events_summary",
     "event_scalar_funcs",
-    # ...and to 114 (source_quality_tiers — new, stays in the window);
-    # one more long-stable r03-era row with standing pytest coverage
-    # yields its slot
+    # ...and to 115 (source_quality_tiers, capture_drift_stats — new,
+    # stay in the window); two more long-stable r03-era rows with
+    # standing pytest coverage yield their slots
     "top_orders",
+    "order_priority_counts",
 )
 
 

@@ -306,21 +306,29 @@ def _token_bit(tok_md5: Column, bit: int) -> Column:
     return F.floor(nibble / (2 ** (bit % 4))) % 2
 
 
-def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash16(
+    df: DataFrame,
+    id_col: str | list[str] = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """16-bit simhash per document: bit b set iff the majority of tokens have
-    bit b set in md5(token). Explode + single groupBy — one shuffle."""
+    bit b set in md5(token). Explode + single groupBy — one shuffle.
+    ``id_col`` may be a list for composite keys (e.g. (url, capture_ts)
+    snapshots — see ``capture_drift``)."""
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok")
+        *[F.col(c) for c in ids],
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     votes = [
         F.sum(_token_bit(F.col("h"), b) * 2 - 1).alias(f"v{b}") for b in range(16)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = toks.groupBy(*ids).agg(*votes)
     fp = None
     for b in range(16):
         term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return agg.select(*[F.col(c) for c in ids], fp.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -614,6 +622,56 @@ def latest_captures(
         .withColumn("n_captures", F.count("*").over(w).cast("long"))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def capture_drift(
+    df: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    changed_bits: int = 3,
+) -> DataFrame:
+    """Content drift between CONSECUTIVE captures of the same url:
+    ``(id, prev_ts, ts, hamming, changed)`` — one row per adjacent
+    snapshot pair, ``hamming`` the simhash16 distance, ``changed`` 1 iff
+    ``hamming >= changed_bits``.
+
+    The complement of ``latest_captures``: that operator picks which
+    snapshot to KEEP; this one measures how much a page actually moved
+    between dumps — the crawl-scheduling signal (static pages get longer
+    revisit intervals; churn gets priority) and the incremental-corpus
+    signal (an unchanged re-capture need not re-enter the dedup/quality
+    cascade).
+
+    Scale shape: an explicit repartition on the url key up front, which
+    BOTH downstream shapes reuse — the per-(url, ts) simhash groupBy
+    (hash(url) co-locates every finer (url, ts) group) and the per-url
+    lag window — so the whole operator is one Exchange (plan-asserted in
+    tests). Hamming is native ``bit_count(xor)``; nothing leaves the JVM.
+    """
+    from pyspark.sql.window import Window
+
+    caps = df.select(id_col, ts_col, text_col).repartition(F.col(id_col))
+    sim = simhash16(caps, [id_col, ts_col], text_col)
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    prev_h = F.lag("simhash").over(w)
+    prev_ts = F.lag(ts_col).over(w)
+    ham = F.bit_count(prev_h.bitwiseXOR(F.col("simhash"))).cast("long")
+    return (
+        sim.select(
+            F.col(id_col),
+            prev_ts.alias("prev_ts"),
+            F.col(ts_col),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "changed",
+            F.when(F.col("hamming") >= changed_bits, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
     )
 
 

@@ -5766,3 +5766,75 @@ def source_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_score",
         "source_tier",
     )
+
+
+def _capture_drift_oracle() -> str:
+    votes = []
+    for b in range(16):
+        hexpos = b // 4 + 1
+        div = 2 ** (b % 4)
+        nib = f"(strpos('0123456789abcdef', substr(hh, {hexpos}, 1)) - 1)"
+        bit = f"(CAST(floor({nib} / {div}.0) AS BIGINT) % 2)"
+        votes.append(f"SUM({bit} * 2 - 1) AS v{b}")
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH caps AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(k.k AS BIGINT) AS ts,
+             coalesce(array_to_string(
+               (string_split(lower(text), ' '))
+                 [k.k * 10 + 1 : len(string_split(lower(text), ' '))], ' '),
+               '') AS cap_text
+      FROM documents, (SELECT unnest(generate_series(0, 2)) AS k) k
+      WHERE doc_id < 100 AND k.k <= doc_id % 3
+    ), tok AS (
+      SELECT url, ts, unnest(string_split(cap_text, ' ')) AS tok FROM caps
+    ), h AS (SELECT url, ts, md5(tok) AS hh FROM tok),
+    bits AS (SELECT url, ts, {", ".join(votes)} FROM h GROUP BY url, ts),
+    sim AS (SELECT url, ts, CAST({fp} AS BIGINT) AS simhash FROM bits),
+    lagged AS (
+      SELECT url, ts, simhash,
+             lag(simhash) OVER (PARTITION BY url ORDER BY ts) AS prev_h,
+             lag(ts) OVER (PARTITION BY url ORDER BY ts) AS prev_ts
+      FROM sim
+    )
+    SELECT url, prev_ts, ts,
+           CAST(bit_count(xor(prev_h, simhash)) AS BIGINT) AS hamming,
+           CAST(CASE WHEN bit_count(xor(prev_h, simhash)) >= 3
+                THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM lagged WHERE prev_h IS NOT NULL
+    """
+
+
+@query("capture_drift_stats", _capture_drift_oracle())
+def capture_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot content drift (operators/dedup.py capture_drift):
+    each document becomes 1-3 captures whose text drops 10 more leading
+    tokens per snapshot; both engines compute a 16-bit simhash per
+    (url, capture), lag it over capture order, and measure the hamming
+    distance of consecutive snapshots — the crawl revisit-scheduling /
+    incremental-ingest signal. Scores, distances and changed verdicts
+    must match row-for-row, including same-text edge cases (drift 0) and
+    captures whose slice runs past the text (empty-token capture)."""
+    from .operators.dedup import capture_drift
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id")
+    toks = F.split(F.lower(F.col("text")), " ")
+    caps = (
+        d.select(
+            F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
+            (did % 3).alias("_max_k"),
+            "text",
+        )
+        .withColumn("ts", F.explode(F.sequence(F.lit(0), F.col("_max_k"))))
+        .withColumn("ts", F.col("ts").cast("long"))
+        .select(
+            "url",
+            "ts",
+            F.concat_ws(
+                " ", F.slice(toks, F.col("ts") * 10 + 1, F.size(toks))
+            ).alias("cap_text"),
+        )
+    )
+    return capture_drift(caps, "url", "ts", "cap_text", changed_bits=3)
