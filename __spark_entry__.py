@@ -172,11 +172,12 @@ _DEMOTED = (
     "events_facets",
     "events_summary",
     "event_scalar_funcs",
-    # ...and to 115 (source_quality_tiers, capture_drift_stats — new,
-    # stay in the window); two more long-stable r03-era rows with
-    # standing pytest coverage yield their slots
+    # ...and to 116 (source_quality_tiers, capture_drift_stats,
+    # redirect_resolution — new, stay in the window); three more
+    # long-stable r03-era rows with standing pytest coverage yield
     "top_orders",
     "order_priority_counts",
+    "expensive_parts_by_brand",
 )
 
 

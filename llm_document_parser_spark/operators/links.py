@@ -292,3 +292,71 @@ def extract_anchor_texts(
         )
         .filter(F.col("target_url").isNotNull() & (F.col("anchor") != ""))
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Terminal target of every redirect chain: ``(src, final_url, hops,
+    resolved)`` for each distinct source in ``edges`` (one out-edge per
+    source — HTTP 3xx semantics). ``resolved`` is 0 (with NULL
+    final/hops) for sources whose chain does not reach a terminal within
+    ``max_hops`` — redirect loops and over-long chains, which crawlers
+    drop rather than follow.
+
+    Pointer doubling, not step-by-step walking: the mapping composes
+    with itself each round (x→y, y→z becomes x→z with summed hop
+    counts), so ``ceil(log2(max_hops))`` equi-joins cover chains up to
+    ``max_hops`` long — 5 rounds for 32 hops where naive iteration
+    takes 32. Each round is one left equi-join on the redirect key with
+    an eager ``localCheckpoint`` (the connected_components /
+    pagerank lineage rule). State is one row per source throughout; no
+    driver-side data.
+    """
+    import math
+
+    e = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+    srcs = e.select(F.col("x").alias("s")).distinct()
+    # done at init: the first hop already landed on a non-source (terminal)
+    m = (
+        e.join(srcs, e["y"] == srcs["s"], "left")
+        .select(
+            "x", "y",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("s").isNull().alias("done"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_hops)))):
+        nxt = m.select(
+            F.col("x").alias("nx"), F.col("y").alias("ny"),
+            F.col("hops").alias("nh"), F.col("done").alias("nd"),
+        )
+        keep = F.col("done") | F.col("nx").isNull()
+        m = (
+            m.join(nxt, (m["y"] == nxt["nx"]) & (~m["done"]), "left")
+            .select(
+                "x",
+                F.when(keep, F.col("y")).otherwise(F.col("ny")).alias("y"),
+                F.when(keep, F.col("hops"))
+                .otherwise(F.col("hops") + F.col("nh"))
+                .alias("hops"),
+                F.when(keep, F.col("done"))
+                .otherwise(F.col("nd"))
+                .alias("done"),
+            )
+            .localCheckpoint()
+        )
+    return m.select(
+        F.col("x").alias("src"),
+        F.when(F.col("done"), F.col("y")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).alias("hops"),
+        F.col("done").cast("long").alias("resolved"),
+    )

@@ -5838,3 +5838,55 @@ def capture_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return capture_drift(caps, "url", "ts", "cap_text", changed_bits=3)
+
+
+@query(
+    "redirect_resolution",
+    r"""
+    WITH RECURSIVE edges AS (
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+             'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id < 80 AND doc_id % 4 <> 3
+      UNION ALL
+      SELECT 'c' || CAST(doc_id AS VARCHAR),
+             'c' || CAST((doc_id + 1) % 3 AS VARCHAR)
+      FROM documents WHERE doc_id < 3
+    ), walk AS (
+      SELECT src, dst AS cur, 1 AS hops FROM edges
+      UNION ALL
+      SELECT w.src, e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON w.cur = e.src
+      WHERE w.hops < 32
+    ), terminal AS (
+      SELECT w.src, w.cur AS final_url, CAST(w.hops AS BIGINT) AS hops
+      FROM walk w LEFT JOIN edges e ON w.cur = e.src
+      WHERE e.src IS NULL
+    )
+    SELECT s.src, t.final_url, t.hops,
+           CAST(CASE WHEN t.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS resolved
+    FROM (SELECT DISTINCT src FROM edges) s
+    LEFT JOIN terminal t USING (src)
+    """,
+)
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/links.py resolve_redirects):
+    HTTP 3xx chains built from documents (length-1..3 linear chains plus
+    a deliberate 3-cycle) resolved to their terminal url by pointer
+    doubling — 5 composing equi-joins cover 32 hops where the oracle's
+    recursive CTE walks step by step. Terminal urls, exact hop counts
+    and the loop's unresolved verdict (NULL final/hops, resolved=0)
+    must match row-for-row."""
+    from .operators.links import resolve_redirects
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    linear = d.filter((did < 80) & (did % 4 != 3)).select(
+        F.concat(F.lit("u"), did.cast("string")).alias("src"),
+        F.concat(F.lit("u"), (did + 1).cast("string")).alias("dst"),
+    )
+    cyc = d.filter(did < 3).select(
+        F.concat(F.lit("c"), did.cast("string")).alias("src"),
+        F.concat(F.lit("c"), ((did + 1) % 3).cast("string")).alias("dst"),
+    )
+    return resolve_redirects(linear.unionByName(cyc), "src", "dst", 32)
