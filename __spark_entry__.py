@@ -172,12 +172,15 @@ _DEMOTED = (
     "events_facets",
     "events_summary",
     "event_scalar_funcs",
-    # ...and to 116 (source_quality_tiers, capture_drift_stats,
-    # redirect_resolution — new, stay in the window); three more
-    # long-stable r03-era rows with standing pytest coverage yield
+    # ...and to 118 (source_quality_tiers, capture_drift_stats,
+    # redirect_resolution, weighted_doc_sample, bitext_url_pairs — new,
+    # stay in the window); five more long-stable r03-era rows with
+    # standing pytest coverage yield their slots
     "top_orders",
     "order_priority_counts",
     "expensive_parts_by_brand",
+    "supplier_nation_balance",
+    "revenue_rollup",
 )
 
 

@@ -323,3 +323,48 @@ def leakage_safe_split(
     last = fractions[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return out.withColumn(out_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one pass
+    (Efraimidis-Spirakis 2006): each row gets key = u**(1/w) with u an
+    md5-derived uniform in (0,1), and the k largest keys ARE a weighted
+    sample — inclusion probability proportional to weight, no sequential
+    draws. Returns ``(id, weight, es_key, sample_rank)``.
+
+    The standard reservoir generalization for "sample 10M docs
+    proportional to token count" over a corpus too large to draw from
+    sequentially. Deterministic: u is a hash, not an RNG (same
+    salt → same sample; vary ``salt`` per epoch), the same trick as
+    leakage_safe_split's bucket hash.
+
+    Scale shape: one narrow map (hash + pow) and a top-k — Spark plans
+    orderBy().limit(k) as TakeOrderedAndProject, a per-partition heap +
+    tree reduction, NO full sort and NO shuffle of the corpus. Rows with
+    non-positive weight are excluded (they can never be drawn).
+    """
+    idc = F.col(id_col).cast("string")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), idc)), 1, 8), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    cand = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.pow(u, 1.0 / F.col(weight_col).cast("double")).alias("_key"),
+        )
+    )
+    sel = cand.orderBy(F.desc("_key"), "id").limit(k)
+    w = Window.orderBy(F.desc("_key"), "id")
+    return sel.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    ).select("id", "weight", F.round("_key", 6).alias("es_key"), "sample_rank")

@@ -280,3 +280,60 @@ def url_template_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("_u").alias("example_url"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bitext url pairing — parallel-corpus mining prelude
+# ---------------------------------------------------------------------------
+
+# first path segment is a 2-letter language code: anchored, no lookahead —
+# identical semantics under Java regex (Spark) and RE2 (DuckDB oracle)
+_LANG_SEG_RE = r"^(https?://[^/]+)/([a-z]{2})/(.*)$"
+
+BITEXT_LANGS = ("en", "fr", "de", "es", "it", "pt", "nl", "pl", "ru", "tr")
+
+
+def bitext_url_pairs(
+    df: DataFrame,
+    url_col: str = "url",
+    langs: tuple[str, ...] = BITEXT_LANGS,
+) -> DataFrame:
+    """Candidate translation pairs from URL structure: sites publish
+    parallel pages under language path prefixes (``/en/pricing`` ↔
+    ``/fr/pricing``), so urls that differ ONLY in a leading 2-letter
+    language segment are bitext candidates — the ParaCrawl/CCMatrix
+    mining prelude (alignment scoring happens downstream on content).
+
+    Returns ``(skeleton, lang_a, lang_b, url_a, url_b)`` with
+    ``lang_a < lang_b``; ``skeleton`` is the url with the language
+    segment replaced by ``{lang}``.
+
+    Scale shape: one anchored regexp per url, then a self equi-join on
+    the skeleton key — fan-out per skeleton is bounded by |langs| (a
+    page has at most one url per language), so the join cannot blow up
+    on popular pages the way content-keyed self-joins can.
+    """
+    u = F.col(url_col)
+    s = (
+        df.select(
+            u.alias("url"),
+            F.regexp_extract(u, _LANG_SEG_RE, 2).alias("lang"),
+            F.concat(
+                F.regexp_extract(u, _LANG_SEG_RE, 1),
+                F.lit("/{lang}/"),
+                F.regexp_extract(u, _LANG_SEG_RE, 3),
+            ).alias("skeleton"),
+        )
+        .filter(F.col("lang").isin(*langs))
+    )
+    a = s.select(
+        "skeleton", F.col("lang").alias("lang_a"), F.col("url").alias("url_a")
+    )
+    b = s.select(
+        F.col("skeleton").alias("_sk"),
+        F.col("lang").alias("lang_b"),
+        F.col("url").alias("url_b"),
+    )
+    return a.join(
+        b, (a["skeleton"] == b["_sk"]) & (a["lang_a"] < b["lang_b"])
+    ).select("skeleton", "lang_a", "lang_b", "url_a", "url_b")

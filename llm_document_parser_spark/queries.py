@@ -5890,3 +5890,88 @@ def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), ((did + 1) % 3).cast("string")).alias("dst"),
     )
     return resolve_redirects(linear.unionByName(cyc), "src", "dst", 32)
+
+
+@query(
+    "weighted_doc_sample",
+    r"""
+    WITH c AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0,
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT doc_id AS id, weight, k,
+             row_number() OVER (ORDER BY k DESC, id) AS rn
+      FROM c
+    )
+    SELECT id, weight, round(k, 6) AS es_key, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 50
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted sampling without replacement (operators/
+    sampling.py weighted_sample, Efraimidis-Spirakis): 50 documents
+    drawn proportional to length via key = u**(1/weight) top-k, u an
+    md5-derived uniform. Both engines compute the keys from the same
+    hash bytes and must select the identical 50 documents in the
+    identical rank order (6-dp key match)."""
+    from .operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, k=50, weight_col="n_chars", id_col="doc_id")
+
+
+@query(
+    "bitext_url_pairs",
+    r"""
+    WITH u AS (
+      SELECT 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR)
+             || '.example/'
+             || CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                                WHEN 2 THEN 'de' ELSE 'plain' END
+             || '/page/' || CAST(doc_id // 4 AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 120
+    ), parts AS (
+      SELECT url,
+        regexp_extract(url, '^(https?://[^/]+)/([a-z]{2})/(.*)$', 2) AS lang,
+        regexp_extract(url, '^(https?://[^/]+)/([a-z]{2})/(.*)$', 1)
+          || '/{lang}/'
+          || regexp_extract(url, '^(https?://[^/]+)/([a-z]{2})/(.*)$', 3)
+          AS skeleton
+      FROM u
+    ), s AS (
+      SELECT url, lang, skeleton FROM parts
+      WHERE lang IN ('en', 'fr', 'de', 'es', 'it', 'pt', 'nl', 'pl', 'ru', 'tr')
+    )
+    SELECT a.skeleton, a.lang AS lang_a, b.lang AS lang_b,
+           a.url AS url_a, b.url AS url_b
+    FROM s a JOIN s b ON a.skeleton = b.skeleton AND a.lang < b.lang
+    """,
+)
+def bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining from URL structure (operators/urls.py
+    bitext_url_pairs): documents become urls under en/fr/de language
+    path segments (every 4th url has no language segment and must drop
+    out), and urls differing only in that segment pair up via a skeleton
+    equi-join — the ParaCrawl/CCMatrix prelude. Skeletons, ordered lang
+    pairs and both member urls must match row-for-row."""
+    from .operators.urls import bitext_url_pairs as mine_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    did = F.col("doc_id")
+    page = F.expr("doc_id div 4")
+    lang = (
+        F.when(did % 4 == 0, F.lit("en"))
+        .when(did % 4 == 1, F.lit("fr"))
+        .when(did % 4 == 2, F.lit("de"))
+        .otherwise(F.lit("plain"))
+    )
+    urls = d.select(
+        F.concat(
+            F.lit("https://h"), (page % 7).cast("string"),
+            F.lit(".example/"), lang, F.lit("/page/"), page.cast("string"),
+        ).alias("url")
+    )
+    return mine_pairs(urls)

@@ -257,3 +257,63 @@ def test_temperature_selection_is_deterministic_md5_order(spark):
         if r["source"] == "small"
     )
     assert got == again
+
+
+# --- Efraimidis-Spirakis weighted sampling ---------------------------------
+
+
+def _es_key(doc_id: int, weight: int, salt: str = "") -> float:
+    import hashlib
+
+    h = hashlib.md5((salt + str(doc_id)).encode()).hexdigest()
+    u = (int(h[:8], 16) + 0.5) / 4294967296.0
+    return u ** (1.0 / weight)
+
+
+def test_weighted_sample_python_replay_parity(spark):
+    from llm_document_parser_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 + 90 * (i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, k=10, weight_col="w").collect()
+    expect = sorted(
+        ((-_es_key(i, w), i, w) for i, w in rows)
+    )[:10]
+    assert [(r["id"], r["weight"]) for r in got] == [
+        (i, w) for _, i, w in expect
+    ]
+    for r, (negk, _, _) in zip(got, expect):
+        assert r["es_key"] == round(-negk, 6)
+    assert [r["sample_rank"] for r in got] == list(range(1, 11))
+
+
+def test_weighted_sample_salt_and_weight_rules(spark):
+    from llm_document_parser_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 5) - 1) for i in range(30)]  # weights -1..3, some <= 0
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, k=100, weight_col="w")
+    kept = out.collect()
+    # non-positive weights excluded; k > n keeps every positive row
+    assert all(r["weight"] > 0 for r in kept)
+    assert len(kept) == sum(1 for _, w in rows if w > 0)
+    a = [r["id"] for r in weighted_sample(df, 5, "w", salt="e1").collect()]
+    b = [r["id"] for r in weighted_sample(df, 5, "w", salt="e1").collect()]
+    c = [r["id"] for r in weighted_sample(df, 5, "w", salt="e2").collect()]
+    assert a == b and a != c
+
+
+def test_weighted_sample_topk_plan(spark):
+    from llm_document_parser_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_id long, w long"
+    )
+    plan = (
+        weighted_sample(df, k=5, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus-side selection is a tree-reduced top-k, not a full sort
+    assert "TakeOrderedAndProject" in plan, plan

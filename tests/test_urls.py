@@ -211,3 +211,45 @@ def test_url_template_stats_groups_and_example(spark):
         ("h.x", "/p/{n}/v"): (2, "https://h.x/p/11/v"),
         ("h.x", "/a"): (1, "https://h.x/a"),
     }
+
+
+# --- bitext url pairing -----------------------------------------------------
+
+
+def test_bitext_pairs_basic_and_ordering(spark):
+    from llm_document_parser_spark.operators.urls import bitext_url_pairs
+
+    urls = [
+        "https://site.example/en/pricing",
+        "https://site.example/fr/pricing",
+        "https://site.example/de/pricing",
+        "https://site.example/en/about",      # no partner -> no pair
+        "https://other.example/fr/pricing",   # different host -> no pair
+        "https://site.example/pricing",       # no lang segment
+        "https://site.example/xx/pricing",    # not a configured lang
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["lang_a"], r["lang_b"]): (r["url_a"], r["url_b"])
+        for r in bitext_url_pairs(df).collect()
+    }
+    assert set(got) == {("de", "en"), ("de", "fr"), ("en", "fr")}
+    assert got[("en", "fr")] == (
+        "https://site.example/en/pricing",
+        "https://site.example/fr/pricing",
+    )
+    skels = {
+        r["skeleton"] for r in bitext_url_pairs(df).collect()
+    }
+    assert skels == {"https://site.example/{lang}/pricing"}
+
+
+def test_bitext_lang_set_is_configurable(spark):
+    from llm_document_parser_spark.operators.urls import bitext_url_pairs
+
+    df = spark.createDataFrame(
+        [("https://s.example/xx/p",), ("https://s.example/yy/p",)],
+        "url string",
+    )
+    assert bitext_url_pairs(df).count() == 0
+    assert bitext_url_pairs(df, langs=("xx", "yy")).count() == 1
