@@ -211,6 +211,31 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: redirect resolution over a 1M-edge graph ---
+    # Pointer doubling at scale: 1M redirect edges in 15-hop chains
+    # resolve in ceil(log2(32)) = 5 composing joins (a sequential walk
+    # needs 15). Edges synthesize in-plan (spark.range, no dataset).
+    from llm_document_parser_spark.operators import links as lk
+
+    def _redirects_1m():
+        from pyspark.sql import functions as FF
+
+        edges = (
+            spark.range(1_000_000)
+            .filter(FF.pmod("id", 16) != 15)
+            .select(
+                FF.concat(FF.lit("n"), FF.col("id").cast("string")).alias("src"),
+                FF.concat(FF.lit("n"), (FF.col("id") + 1).cast("string")).alias(
+                    "dst"
+                ),
+            )
+        )
+        lk.resolve_redirects(edges, max_hops=32).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    add_leg("redirects_1m", _redirects_1m)
+
     # --- timed: benchmark decontamination at extraction scale ---
     # 500 eval items (12-word prefixes of the sf documents) against the
     # same 50k real extracted pages: corpus 8-grams explode map-side and
