@@ -131,3 +131,104 @@ def extract_content(
             ).alias("content"),
         )
     )
+
+
+# ===========================================================================
+# heading outline — document structure for section-aware chunking
+# ===========================================================================
+#
+# Training-data pipelines that chunk documents by section (RAG corpora,
+# curriculum ordering by heading depth, title-conditioned generation) need
+# each heading's hierarchical path, with the HTML5-outline RESET rule: an
+# <h2> that appears BEFORE the governing <h1> is stale and must not appear
+# in a later <h3>'s path. Reference semantics analog: the per-document
+# field hierarchy of src/document_parser.py (nested section dicts), here
+# re-expressed relationally at corpus scale.
+#
+# Shape: one regexp_extract_all pair + one posexplode, then TEN window
+# expressions that all share the SAME (partition url, order pos) window —
+# Catalyst plans ONE Exchange + ONE Window operator for all of them. The
+# ancestor-chain reset is an unrolled running-max over included positions
+# (levels are bounded at 6, so the unroll is total). Zero Python.
+
+HEADING_LEVEL_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h[1-6]\s*>"
+
+
+def extract_headings(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, pos, level, heading)`` per <h1>-<h6> in document order.
+    ``heading`` is the visible text (inline tags stripped, whitespace
+    collapsed); ``pos`` is the 0-based heading index within the page."""
+    h = F.col(html_col)
+    levels = F.regexp_extract_all(h, F.lit(HEADING_LEVEL_RE), 1)
+    texts = F.regexp_extract_all(h, F.lit(HEADING_LEVEL_RE), 2)
+    rows = pages.select(
+        F.col(url_col),
+        F.posexplode(F.arrays_zip(levels.alias("lvl"), texts.alias("txt"))).alias(
+            "pos", "ht"
+        ),
+    )
+    return rows.select(
+        url_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.col("ht.lvl").cast("int").alias("level"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("ht.txt"), TAG_RE, " "), r"\s+", " "
+            )
+        ).alias("heading"),
+    )
+
+
+def heading_outline(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``extract_headings`` plus ``section_path``: the ' > '-joined chain
+    of governing ancestor headings (nearest preceding h1..h(L-1), each
+    ancestor required to appear AFTER the previously-included one — the
+    HTML5 outline reset). The current heading itself is not part of its
+    own path; top-level headings get an empty path.
+
+    All ancestor lookups are ``last(..., ignorenulls)`` over ONE shared
+    running window, so the whole outline costs a single shuffle on the
+    page key regardless of how many levels a corpus uses."""
+    from pyspark.sql.window import Window
+
+    hs = extract_headings(pages, url_col, html_col)
+    w = (
+        Window.partitionBy(url_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cols = [hs[url_col], hs["pos"], hs["level"], hs["heading"]]
+    for lv in range(1, 6):
+        tagged_t = F.when(F.col("level") == lv, F.col("heading"))
+        tagged_p = F.when(F.col("level") == lv, F.col("pos"))
+        cols.append(F.last(tagged_t, ignorenulls=True).over(w).alias(f"lt{lv}"))
+        cols.append(F.last(tagged_p, ignorenulls=True).over(w).alias(f"lp{lv}"))
+    wide = hs.select(*cols)
+
+    # unrolled reset: include level-l ancestor iff it exists, is below the
+    # current heading's level, and appears after every included ancestor
+    # above it (running max of included positions, seeded at -1)
+    run_max = F.lit(-1).cast("long")
+    parts = []
+    for lv in range(1, 6):
+        inc = (
+            (F.col("level") > lv)
+            & F.col(f"lp{lv}").isNotNull()
+            & (F.col(f"lp{lv}") > run_max)
+        )
+        parts.append(F.when(inc, F.col(f"lt{lv}")))
+        run_max = F.when(
+            inc & (F.col(f"lp{lv}") > run_max), F.col(f"lp{lv}")
+        ).otherwise(run_max)
+    path = F.concat_ws(" > ", F.array([p for p in parts]))
+    return wide.select(
+        url_col,
+        "pos",
+        "level",
+        "heading",
+        path.alias("section_path"),
+    )

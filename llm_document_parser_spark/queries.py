@@ -5975,3 +5975,95 @@ def bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     return mine_pairs(urls)
+
+
+@query(
+    "heading_outline_paths",
+    r"""
+    WITH pages AS (
+      SELECT 'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.example/d/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '<html><body><h1>A ' || substr(text, 1, 8)
+             || '</h1><p>intro paragraph text</p>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<h2 class="s">B ' || substr(text, 9, 6)
+                          || '</h2><h3>C deep</h3>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '<h2>D side</h2>' ELSE '' END
+             || '<h1>E ' || CAST(doc_id % 5 AS VARCHAR) || '</h1>'
+             || CASE WHEN doc_id % 2 = 0 THEN '<h3>F tail</h3>' ELSE '' END
+             || '</body></html>' AS html
+      FROM documents WHERE doc_id < 300
+    ), ext AS (
+      SELECT url,
+             regexp_extract_all(html,
+               '(?is)<h([1-6])[^>]*>(.*?)</h[1-6]\s*>', 1) AS lvls,
+             regexp_extract_all(html,
+               '(?is)<h([1-6])[^>]*>(.*?)</h[1-6]\s*>', 2) AS txts
+      FROM pages
+    ), hs AS (
+      SELECT url, CAST(u.i - 1 AS BIGINT) AS pos,
+             CAST(lvls[u.i] AS INTEGER) AS level,
+             trim(regexp_replace(regexp_replace(
+               txts[u.i], '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))
+               AS heading
+      FROM ext, unnest(range(1, len(lvls) + 1)) AS u(i)
+    ), anc AS (
+      SELECT url, pos, level, heading,
+        last_value(CASE WHEN level = 1 THEN heading END IGNORE NULLS)
+          OVER w AS lt1,
+        last_value(CASE WHEN level = 1 THEN pos END IGNORE NULLS)
+          OVER w AS lp1,
+        last_value(CASE WHEN level = 2 THEN heading END IGNORE NULLS)
+          OVER w AS lt2,
+        last_value(CASE WHEN level = 2 THEN pos END IGNORE NULLS)
+          OVER w AS lp2
+      FROM hs
+      WINDOW w AS (PARTITION BY url ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT url, pos, level, heading,
+      concat_ws(' > ',
+        CASE WHEN level > 1 AND lp1 IS NOT NULL THEN lt1 END,
+        CASE WHEN level > 2 AND lp2 IS NOT NULL
+              AND lp2 > (CASE WHEN level > 1 AND lp1 IS NOT NULL
+                              THEN lp1 ELSE -1 END)
+             THEN lt2 END
+      ) AS section_path
+    FROM anc
+    """,
+)
+def heading_outline_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading hierarchy with the HTML5-outline reset rule (operators/
+    content.py:heading_outline): documents become pages whose heading
+    sequence exercises attribute-bearing tags, mixed levels, and the
+    stale-ancestor case — the final <h3> must attach under the LAST <h1>
+    and skip every <h2> that precedes that <h1>. The engine's single
+    shared-window outline (one Exchange, ten last-ignorenulls exprs) must
+    match the oracle's unrolled running-max CASE chain row-for-row.
+    Section-aware chunking for RAG/training corpora is the consumer."""
+    from .operators.content import heading_outline
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 9).cast("string"),
+        F.lit(".example/d/"), did.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>A "), F.substring("text", 1, 8),
+        F.lit("</h1><p>intro paragraph text</p>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<h2 class="s">B '), F.substring("text", 9, 6),
+                F.lit("</h2><h3>C deep</h3>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("<h2>D side</h2>")).otherwise(F.lit("")),
+        F.lit("<h1>E "), (did % 5).cast("string"), F.lit("</h1>"),
+        F.when(did % 2 == 0, F.lit("<h3>F tail</h3>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return heading_outline(pages)

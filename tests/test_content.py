@@ -78,3 +78,65 @@ def test_scoring_plan_has_no_exchange(spark):
     plan = score_blocks(_pages(spark))
     physical = plan._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in physical, physical
+
+
+# ---------------------------------------------------------------------------
+# heading outline
+# ---------------------------------------------------------------------------
+
+
+def test_extract_headings_order_and_strip(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<h1 id="t">Main <em>Title</em></h1><p>x</p>'
+                "<h2>Part\n  One</h2><H3>threes</H3>",
+            ),
+            ("u2", "<p>no headings here</p>"),
+        ],
+        "url string, html string",
+    )
+    from llm_document_parser_spark.operators.content import extract_headings
+
+    rows = sorted(extract_headings(df).collect(), key=lambda r: r["pos"])
+    assert [r["url"] for r in rows] == ["u1"] * 3  # u2 emits nothing
+    assert [(r["pos"], r["level"], r["heading"]) for r in rows] == [
+        (0, 1, "Main Title"),  # inline tag stripped, space collapsed
+        (1, 2, "Part One"),  # newline whitespace collapsed
+        (2, 3, "threes"),  # case-insensitive tag match
+    ]
+
+
+def test_heading_outline_reset_rule(spark):
+    from llm_document_parser_spark.operators.content import heading_outline
+
+    html = (
+        "<h1>Top A</h1><h2>Sec B</h2><h3>Sub C</h3>"
+        "<h2>Sec D</h2><h1>Top E</h1><h3>Sub F</h3><h6>Deep G</h6>"
+    )
+    got = {
+        r["heading"]: r["section_path"]
+        for r in heading_outline(
+            spark.createDataFrame([("u", html)], "url string, html string")
+        ).collect()
+    }
+    assert got == {
+        "Top A": "",
+        "Sec B": "Top A",
+        "Sub C": "Top A > Sec B",
+        "Sec D": "Top A",
+        "Top E": "",
+        # Sec B / Sec D precede Top E → stale, must NOT govern Sub F
+        "Sub F": "Top E",
+        "Deep G": "Top E > Sub F",
+    }
+
+
+def test_heading_outline_single_window_plan(spark):
+    from llm_document_parser_spark.operators.content import heading_outline
+
+    df = spark.createDataFrame([("u", "<h1>a</h1>")], "url string, html string")
+    plan = heading_outline(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # all ten window exprs share one shuffle
+    assert plan.count("Window") == 1
