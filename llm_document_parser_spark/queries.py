@@ -6067,3 +6067,75 @@ def heading_outline_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = d.select(url.alias("url"), html.alias("html"))
     return heading_outline(pages)
+
+
+@query(
+    "mojibake_repaired_docs",
+    """
+    WITH clean AS (
+      SELECT doc_id,
+        CASE doc_id % 3
+          WHEN 0 THEN replace(text, 'a', '\u00e1')
+          WHEN 1 THEN replace(text, 'e', '\u00e9')
+                      || ' \u2014 9\u20ac tail'
+          ELSE text END AS clean_text
+      FROM documents WHERE doc_id < 400
+    ), corr AS (
+      SELECT doc_id, clean_text,
+        CASE doc_id % 3
+          WHEN 0 THEN replace(clean_text, '\u00e1', '\u00c3\u00a1')
+          WHEN 1 THEN replace(replace(replace(clean_text,
+                        '\u20ac', '\u00e2\u201a\u00ac'),
+                        '\u2014', '\u00e2\u20ac\u201d'),
+                        '\u00e9', '\u00c3\u00a9')
+          ELSE clean_text END AS corrupted
+      FROM clean
+    )
+    SELECT doc_id,
+           CAST(corrupted <> clean_text AS INTEGER) AS detected,
+           clean_text AS repaired
+    FROM corr
+    """,
+)
+def mojibake_repaired_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoded UTF-8 repair (operators/normalize.py:
+    repair_mojibake): documents get Latin-1/cp1252-class damage applied
+    NATIVELY (real encode/decode roundtrip + the cp1252 forward
+    translate — not string replaces), then repaired; the oracle builds
+    the same corruption from closed-form replace chains and asserts the
+    repair recovers the injected clean text byte-for-byte, with ASCII
+    docs (and docs where the injection was a no-op) passing through
+    undetected. Exercises 2-byte (e-acute), 3-byte (em-dash, euro via
+    cp1252 slots 0x80/0x82/0x94) sequences."""
+    from .operators.normalize import (
+        WIN1252_AS_C1,
+        WIN1252_HIGH,
+        mojibake_detected,
+        repair_mojibake,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    m3 = F.col("doc_id") % 3
+    clean = (
+        F.when(m3 == 0, F.regexp_replace("text", "a", "\u00e1"))
+        .when(
+            m3 == 1,
+            F.concat(
+                F.regexp_replace("text", "e", "\u00e9"),
+                F.lit(" \u2014 9\u20ac tail"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    # real damage: UTF-8 bytes re-read as Latin-1, then shown through the
+    # cp1252 lens (forward translate of the C1 slots)
+    corrupted = F.translate(
+        F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1"),
+        WIN1252_AS_C1,
+        WIN1252_HIGH,
+    )
+    return d.select(
+        "doc_id",
+        mojibake_detected(corrupted).cast("int").alias("detected"),
+        repair_mojibake(corrupted).alias("repaired"),
+    )

@@ -103,3 +103,101 @@ def test_plan_is_single_arrow_stage(spark):
     plan = nfc_normalize_text(df, "t")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair
+# ---------------------------------------------------------------------------
+
+
+def _cp1252_moji(s: str) -> str:
+    """Ground truth: what s looks like after its UTF-8 bytes were decoded
+    as Windows-1252 (undefined slots fall back to the C1 char, matching
+    browsers' sloppy-cp1252)."""
+    out = []
+    for byte in s.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(byte))
+    return "".join(out)
+
+
+def test_repair_mojibake_roundtrips(spark):
+    import pyspark.sql.functions as F
+
+    from llm_document_parser_spark.operators.normalize import repair_mojibake
+
+    cleans = [
+        "café résumé naïve",
+        "em—dash “curly” ‘quotes’ …ellipsis",
+        "mixed: 5€ † ‰ Œ š",
+        "中文 and русский and עברית",  # 3-byte sequences
+        "emoji \U0001f600 4-byte",
+    ]
+    rows = [
+        (c, c.encode("utf-8").decode("latin-1"), _cp1252_moji(c)) for c in cleans
+    ]
+    df = spark.createDataFrame(rows, "clean string, l1 string, cp string")
+    got = df.select(
+        "clean",
+        repair_mojibake(F.col("l1")).alias("r1"),
+        repair_mojibake(F.col("cp")).alias("r2"),
+    ).collect()
+    for r in got:
+        assert r["r1"] == r["clean"]
+        assert r["r2"] == r["clean"]
+
+
+def test_repair_mojibake_leaves_clean_text_alone(spark):
+    import pyspark.sql.functions as F
+
+    from llm_document_parser_spark.operators.normalize import (
+        mojibake_detected,
+        repair_mojibake,
+    )
+
+    cleans = [
+        "plain ascii",
+        "legit euro 5€ and em—dash",  # valid text must NOT be "repaired"
+        "café already fine",
+        "中文",
+        "",
+        None,
+        # structurally INVALID pseudo-mojibake: lead with no continuation
+        "broken Ã then ascii",
+    ]
+    df = spark.createDataFrame([(c,) for c in cleans], "t string")
+    got = df.select(
+        "t",
+        repair_mojibake(F.col("t")).alias("r"),
+        mojibake_detected(F.col("t")).alias("d"),
+    ).collect()
+    for r in got:
+        assert r["r"] == r["t"]
+        assert r["d"] in (False, None)
+
+
+def test_repair_mojibake_all_or_nothing(spark):
+    """A string mixing damaged and already-multibyte-valid text fails the
+    structural full-match and is left untouched (conservative contract)."""
+    import pyspark.sql.functions as F
+
+    from llm_document_parser_spark.operators.normalize import repair_mojibake
+
+    mixed = "damaged Ã© next to valid 中文"
+    df = spark.createDataFrame([(mixed,)], "t string")
+    assert df.select(repair_mojibake(F.col("t")).alias("r")).first()["r"] == mixed
+
+
+def test_repair_mojibake_is_native(spark):
+    import pyspark.sql.functions as F
+
+    from llm_document_parser_spark.operators.normalize import repair_mojibake
+
+    df = spark.createDataFrame([("x",)], "t string")
+    plan = (
+        df.select(repair_mojibake(F.col("t")).alias("r"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
