@@ -360,3 +360,67 @@ def resolve_redirects(
         F.when(F.col("done"), F.col("hops")).alias("hops"),
         F.col("done").cast("long").alias("resolved"),
     )
+
+
+def link_spam_signals(edges: DataFrame) -> DataFrame:
+    """Host-level link-spam signals from an aggregated crawl graph
+    (``host_link_graph`` output: src_host, dst_host, n_links):
+
+    * ``out_deg`` / ``in_deg`` — distinct-neighbor degrees,
+    * ``out_links`` — total outbound link weight,
+    * ``recip_out`` / ``recip_frac`` — how many of a host's out-neighbors
+      link straight back (nepotistic link-exchange; the classic link-farm
+      fingerprint — TrustRank/anti-spam literature's first feature),
+    * ``spam_flag`` — 1 when at least half the out-neighborhood is
+      reciprocal AND the host links to ≥2 hosts (integer arithmetic, no
+      float threshold).
+
+    Scale shape: the input is already the DISTINCT host-pair table, so
+    reciprocity is ONE equi-join of that table against itself on the
+    swapped pair key, and the degrees are two host-keyed aggs — every
+    stage hash-partitioned, nothing quadratic, no host ever holds more
+    state than its own neighbor list. Low-quality-source demotion for
+    crawl scheduling and corpus tiering is the consumer."""
+    pairs = edges.select("src_host", "dst_host", "n_links")
+    outs = pairs.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum("n_links").cast("long").alias("out_links"),
+    )
+    ins = pairs.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    rev = pairs.select(
+        F.col("dst_host").alias("src_host"), F.col("src_host").alias("dst_host")
+    )
+    rec = (
+        pairs.join(rev, ["src_host", "dst_host"], "left_semi")
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count(F.lit(1)).alias("recip_out"))
+    )
+    full = (
+        outs.join(ins, "host", "full")
+        .join(rec, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("out_links", F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("recip_out", F.lit(0)).cast("long").alias("recip_out"),
+        )
+    )
+    return full.select(
+        "host",
+        "out_deg",
+        "out_links",
+        "in_deg",
+        "recip_out",
+        F.round(
+            F.col("recip_out").cast("double")
+            / F.greatest(F.col("out_deg"), F.lit(1)).cast("double"),
+            6,
+        ).alias("recip_frac"),
+        (
+            (F.col("recip_out") * 2 >= F.col("out_deg"))
+            & (F.col("out_deg") >= 2)
+        ).cast("int").alias("spam_flag"),
+    )

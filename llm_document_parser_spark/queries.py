@@ -6139,3 +6139,66 @@ def mojibake_repaired_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         mojibake_detected(corrupted).cast("int").alias("detected"),
         repair_mojibake(corrupted).alias("repaired"),
     )
+
+
+@query(
+    "host_link_spam",
+    """
+    WITH edges AS (
+      SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) AS src_host,
+             'h' || CAST((doc_id * 5 + 3) % 14 AS VARCHAR) AS dst_host,
+             CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_links
+      FROM documents
+      WHERE doc_id < 200
+        AND 'h' || CAST(doc_id % 12 AS VARCHAR)
+            <> 'h' || CAST((doc_id * 5 + 3) % 14 AS VARCHAR)
+      GROUP BY 1, 2
+    ), outs AS (
+      SELECT src_host AS host, COUNT(*) AS out_deg,
+             CAST(sum(n_links) AS BIGINT) AS out_links
+      FROM edges GROUP BY 1
+    ), ins AS (
+      SELECT dst_host AS host, COUNT(*) AS in_deg FROM edges GROUP BY 1
+    ), rec AS (
+      SELECT e1.src_host AS host, COUNT(*) AS recip_out
+      FROM edges e1
+      JOIN edges e2 ON e1.src_host = e2.dst_host
+                   AND e1.dst_host = e2.src_host
+      GROUP BY 1
+    )
+    SELECT coalesce(o.host, i.host) AS host,
+           CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+           CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(r.recip_out, 0) AS BIGINT) AS recip_out,
+           round(CAST(coalesce(r.recip_out, 0) AS DOUBLE)
+                 / CAST(greatest(coalesce(o.out_deg, 0), 1) AS DOUBLE), 6)
+             AS recip_frac,
+           CAST(coalesce(r.recip_out, 0) * 2 >= coalesce(o.out_deg, 0)
+                AND coalesce(o.out_deg, 0) >= 2 AS INTEGER) AS spam_flag
+    FROM outs o
+    FULL JOIN ins i ON o.host = i.host
+    LEFT JOIN rec r ON coalesce(o.host, i.host) = r.host
+    """,
+)
+def host_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm fingerprinting (operators/links.py:link_spam_signals)
+    on the same deterministic host graph host_pagerank uses — the
+    doc_id arithmetic guarantees reciprocal pairs (e.g. h1<->h8 via
+    doc_ids 1 and 8), dangling targets (h12/h13, in-links only), and
+    varied weights. Degrees, reciprocity counts/fractions and the
+    integer-arithmetic spam verdict must match the oracle's swapped-key
+    self-join row-for-row."""
+    from .operators.links import link_spam_signals
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    src = F.concat(F.lit("h"), (did % 12).cast("string"))
+    dst = F.concat(F.lit("h"), ((did * 5 + 3) % 14).cast("string"))
+    edges = (
+        d.select(src.alias("src_host"), dst.alias("dst_host"), did)
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum(F.col("doc_id") % 3 + 1).alias("n_links"))
+    )
+    return link_spam_signals(edges)

@@ -192,3 +192,35 @@ def test_anchor_text_legacy_encoding_via_decode_payload(spark):
     )
     (row,) = extract_anchor_texts(decoded).collect()
     assert row["anchor"] == "café menu"
+
+
+# ---------------------------------------------------------------------------
+# link-spam signals
+# ---------------------------------------------------------------------------
+
+
+def test_link_spam_signals_hand_graph(spark):
+    from llm_document_parser_spark.operators.links import link_spam_signals
+
+    # farm: a<->b, a<->c (fully reciprocal); honest: d->a, d->e one-way;
+    # e is a pure sink
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "a", 1),
+            ("a", "c", 2), ("c", "a", 5),
+            ("d", "a", 1), ("d", "e", 1),
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: r for r in link_spam_signals(edges).collect()}
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    a = got["a"]
+    assert (a["out_deg"], a["in_deg"], a["recip_out"]) == (2, 3, 2)
+    assert a["recip_frac"] == 1.0 and a["spam_flag"] == 1
+    # b and c reciprocate but have out_deg 1 → below the ≥2 floor
+    assert got["b"]["spam_flag"] == 0 and got["b"]["recip_frac"] == 1.0
+    d = got["d"]
+    assert (d["out_deg"], d["recip_out"], d["spam_flag"]) == (2, 0, 0)
+    e = got["e"]  # sink: never a src
+    assert (e["out_deg"], e["in_deg"], e["recip_frac"]) == (0, 1, 0.0)
+    assert e["spam_flag"] == 0  # out_deg floor holds even at recip 0/0
