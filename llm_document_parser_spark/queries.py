@@ -6202,3 +6202,77 @@ def host_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("doc_id") % 3 + 1).alias("n_links"))
     )
     return link_spam_signals(edges)
+
+
+@query(
+    "recrawl_schedule_plan",
+    """
+    WITH caps AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(1700000000 + k.k * 3600 * (1 + doc_id % 5) AS BIGINT)
+               AS ts,
+             md5(substr(text, 1, 24) || '#'
+                 || CAST(k.k // 2 AS VARCHAR)) AS digest
+      FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) k
+      WHERE doc_id < 150 AND k.k <= doc_id % 4
+    ), lagged AS (
+      SELECT url, ts,
+             CASE WHEN lag(digest) OVER w IS NOT NULL
+                   AND lag(digest) OVER w <> digest THEN 1 ELSE 0 END AS flip
+      FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts)
+    ), agg AS (
+      SELECT url, COUNT(*) AS n_caps, CAST(sum(flip) AS BIGINT) AS changes,
+             CAST(max(ts) - min(ts) AS BIGINT) AS span_secs,
+             max(ts) AS last_ts
+      FROM lagged GROUP BY url
+    ), calc AS (
+      SELECT url, n_caps, changes, span_secs, last_ts,
+             CASE WHEN n_caps > 1
+                  THEN span_secs // (n_caps - 1) END AS avg_gap_secs,
+             CASE WHEN n_caps = 1 THEN 86400
+                  WHEN changes = 0
+                  THEN least((span_secs // (n_caps - 1)) * 4, 2592000)
+                  ELSE greatest(least(span_secs // (2 * changes), 2592000),
+                                3600)
+             END AS next_gap_secs
+      FROM agg
+    )
+    SELECT url, CAST(n_caps AS BIGINT) AS n_caps, changes,
+           CASE WHEN n_caps > 1
+                THEN round(CAST(changes AS DOUBLE) / (n_caps - 1), 6)
+           END AS change_rate,
+           CAST(avg_gap_secs AS BIGINT) AS avg_gap_secs,
+           CAST(next_gap_secs AS BIGINT) AS next_gap_secs,
+           CAST(last_ts + next_gap_secs AS BIGINT) AS next_fetch_ts
+    FROM calc
+    """,
+)
+def recrawl_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate-adaptive revisit scheduling (operators/recrawl.py):
+    documents become 1-4 captures with per-url-constant gaps (1-5 h) and
+    a digest that flips at the third capture, so the catalog covers
+    single-capture urls (default gap), never-changed urls (4x backoff),
+    and changed urls (revisit twice per expected change, clamped).
+    Integer-seconds arithmetic end-to-end — the schedule must match the
+    oracle EXACTLY, not approximately."""
+    from .operators.recrawl import recrawl_schedule
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    did = F.col("doc_id")
+    caps = (
+        d.withColumn("k", F.explode(F.sequence(F.lit(0), did % 4)))
+        .select(
+            F.concat(F.lit("doc://"), did.cast("string")).alias("url"),
+            (F.lit(1700000000) + F.col("k") * 3600 * (1 + did % 5))
+            .cast("long")
+            .alias("ts"),
+            F.md5(
+                F.concat(
+                    F.substring("text", 1, 24),
+                    F.lit("#"),
+                    F.expr("k div 2").cast("string"),
+                )
+            ).alias("digest"),
+        )
+    )
+    return recrawl_schedule(caps)
