@@ -352,3 +352,61 @@ def repetition_stats(
             ).alias("top_bigram_char_frac"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 500
+) -> DataFrame:
+    """Corpus-level Zipf rank-frequency fit — one summary row:
+
+    ``n_types``, ``n_tokens``, ``zipf_slope`` / ``zipf_intercept`` /
+    ``zipf_r2`` (OLS of ln(freq) on ln(rank) over the ``top_n`` most
+    frequent types), and ``top_coverage`` (token share of those types).
+
+    Natural text follows slope ≈ -1 with high r²; machine-generated spam,
+    template farms, and OCR noise bend the curve — a cheap corpus-health
+    gate run per source/snapshot before expensive curation stages.
+
+    Tokenization is the corpus-standard lowercase non-alphanumeric split
+    (same as the inverted-index/TF-IDF tier, so type counts agree across
+    catalog queries).
+
+    Scale shape: explode → ONE token-keyed count shuffle → top-N via
+    orderBy+limit (TakeOrdered: per-partition heaps, no global sort) →
+    rank window and regression over ``top_n`` rows (bounded by the
+    parameter, NOT the corpus — the single-partition window holds ≤top_n
+    rows by construction) → one-row cross joins. Corpus-sized data never
+    passes through an unpartitioned stage."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    top = counts.orderBy(F.desc("n"), "tok").limit(top_n)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    )
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("r"))
+    fit = ranked.agg(
+        F.regr_slope(ln_n, ln_r).alias("slope"),
+        F.regr_intercept(ln_n, ln_r).alias("icept"),
+        F.regr_r2(ln_n, ln_r).alias("r2"),
+        F.sum("n").cast("long").alias("top_tokens"),
+    )
+    return fit.crossJoin(totals).select(
+        "n_types",
+        "n_tokens",
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round("icept", 6).alias("zipf_intercept"),
+        F.round("r2", 6).alias("zipf_r2"),
+        F.round(
+            F.col("top_tokens").cast("double") / F.col("n_tokens"), 6
+        ).alias("top_coverage"),
+    )

@@ -6276,3 +6276,45 @@ def recrawl_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return recrawl_schedule(caps)
+
+
+@query(
+    "vocab_zipf_fit",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM counts
+    ), top AS (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM counts ORDER BY n DESC, tok LIMIT 500
+    ), fit AS (
+      SELECT regr_slope(ln(n), ln(r)) AS slope,
+             regr_intercept(ln(n), ln(r)) AS icept,
+             regr_r2(ln(n), ln(r)) AS r2,
+             CAST(sum(n) AS BIGINT) AS top_tokens
+      FROM top
+    )
+    SELECT n_types, n_tokens,
+           round(slope, 6) AS zipf_slope,
+           round(icept, 6) AS zipf_intercept,
+           round(r2, 6) AS zipf_r2,
+           round(CAST(top_tokens AS DOUBLE) / n_tokens, 6) AS top_coverage
+    FROM fit, tot
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf diagnostics (operators/textstats.py:zipf_fit):
+    both engines tokenize the full documents table, rank the top-500
+    types deterministically (count desc, token asc), and fit ln(freq) on
+    ln(rank) with their own regr_slope/intercept/r2 implementations —
+    two independent OLS codepaths agreeing to 6dp, plus exact type/token
+    totals and top-type coverage."""
+    from .operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))

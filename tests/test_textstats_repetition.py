@@ -78,3 +78,44 @@ def test_dedup_paragraphs_corpus(spark):
     # within-document repeats collapse to the first position too
     assert rows[5]["deduped_text"] == "dup\nunique"
     assert rows[5]["n_kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_exact_small_corpus(spark):
+    import math
+
+    from llm_document_parser_spark.operators.textstats import zipf_fit
+
+    # freq(the)=4, freq(cat)=2, freq(sat)=1 → perfect data for checking
+    # against a NumPy-free closed-form OLS on (ln r, ln n)
+    df = spark.createDataFrame(
+        [("the cat the cat the sat the!",)], "text string"
+    )
+    r = zipf_fit(df, top_n=10).first()
+    assert r["n_types"] == 3 and r["n_tokens"] == 7
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(n) for n in (4, 2, 1)]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    syy = sum((y - my) ** 2 for y in ys)
+    assert r["zipf_slope"] == round(sxy / sxx, 6)
+    assert r["zipf_intercept"] == round(my - sxy / sxx * mx, 6)
+    assert r["zipf_r2"] == round(sxy * sxy / (sxx * syy), 6)
+    assert r["top_coverage"] == 1.0
+
+
+def test_zipf_fit_top_n_bounds_window(spark):
+    from llm_document_parser_spark.operators.textstats import zipf_fit
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("d e f g",)], "text string"
+    )
+    r = zipf_fit(df, top_n=2).first()
+    assert r["n_types"] == 7 and r["n_tokens"] == 10
+    # top-2 types are a(3), b(2) → coverage 5/10
+    assert r["top_coverage"] == 0.5
