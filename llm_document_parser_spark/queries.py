@@ -6318,3 +6318,67 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import zipf_fit
 
     return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bitext_sentence_align",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 100
+    ), dims AS (
+      SELECT doc_id, l, least(4, (len(l) + 4) // 5) AS na FROM base
+    ), achunks AS (
+      SELECT doc_id, na, u.i AS idx,
+             array_to_string(l[u.i * 5 + 1 : u.i * 5 + 5], ' ') AS sent_a
+      FROM dims, unnest(range(0, na)) AS u(i)
+    ), bchunks AS (
+      SELECT doc_id, idx,
+             CASE WHEN doc_id % 4 = 0 AND idx = 1
+                  THEN upper(sent_a) || ' ' || upper(sent_a)
+                  ELSE upper(sent_a) END AS sent_b
+      FROM achunks WHERE idx < least(3, na)
+    )
+    SELECT 'p' || CAST(a.doc_id AS VARCHAR) AS pair_id,
+           CAST(a.idx AS BIGINT) AS idx, a.sent_a, b.sent_b,
+           CAST(length(a.sent_a) AS BIGINT) AS len_a,
+           CAST(length(b.sent_b) AS BIGINT) AS len_b,
+           CAST(greatest(length(a.sent_a), length(b.sent_b)) * 1
+                  <= least(length(a.sent_a), length(b.sent_b)) * 2
+                OR greatest(length(a.sent_a), length(b.sent_b)) <= 15
+             AS INTEGER) AS aligned
+    FROM achunks a JOIN bchunks b USING (doc_id, idx)
+    """,
+)
+def bitext_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church-baseline sentence alignment (operators/bitext.py):
+    each document becomes an 'en' page of up to four 5-word sentences
+    and a 'translation' of the first three, uppercased, with every 4th
+    pair's second sentence doubled to break the length-ratio gate. The
+    engine SPLITS the reconstructed texts back into sentences (testing
+    the boundary regex + terminal-punct normalization for real), zips
+    positionally, truncates to the shorter side, and applies the integer
+    ratio gate; the oracle knows the chunks in closed form and must
+    agree on every pair, length, and verdict."""
+    from .operators.bitext import align_sentences
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id")
+    l = F.split(F.col("text"), " ")
+    na = F.least(F.lit(4).cast("long"), F.expr("(size(split(text, ' ')) + 4) div 5"))
+    chunk = lambda i: F.array_join(F.slice(l, i * 5 + 1, 5), " ")  # noqa: E731
+    achunks = F.transform(F.sequence(F.lit(0).cast("long"), na - 1), chunk)
+    text_a = F.concat(F.array_join(achunks, ". "), F.lit("."))
+    nb = F.least(F.lit(3).cast("long"), na)
+    bchunk = lambda i: F.when(  # noqa: E731
+        (did % 4 == 0) & (i == 1),
+        F.concat(F.upper(chunk(i)), F.lit(" "), F.upper(chunk(i))),
+    ).otherwise(F.upper(chunk(i)))
+    bchunks = F.transform(F.sequence(F.lit(0).cast("long"), nb - 1), bchunk)
+    text_b = F.concat(F.array_join(bchunks, "! "), F.lit("!"))
+    pairs = d.select(
+        F.concat(F.lit("p"), did.cast("string")).alias("pair_id"),
+        text_a.alias("text_a"),
+        text_b.alias("text_b"),
+    )
+    return align_sentences(pairs)
