@@ -6382,3 +6382,68 @@ def bitext_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_b.alias("text_b"),
     )
     return align_sentences(pairs)
+
+
+@query(
+    "corpus_overlap_kmv",
+    """
+    WITH a AS (SELECT text FROM documents),
+    b AS (
+      SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ), ha AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+      FROM a ORDER BY h LIMIT 128
+    ), hb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS h
+      FROM b ORDER BY h LIMIT 128
+    ), u AS (
+      SELECT coalesce(ha.h, hb.h) AS h,
+             CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM ha FULL JOIN hb ON ha.h = hb.h
+      ORDER BY 1 LIMIT 128
+    ), agg AS (
+      SELECT COUNT(*) AS n_sketch, max(h) AS kth_hash,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_shared
+      FROM u
+    ), da AS (SELECT DISTINCT md5(text) AS d FROM a),
+    db AS (SELECT DISTINCT md5(text) AS d FROM b),
+    ex AS (
+      SELECT (SELECT COUNT(*) FROM da) AS exact_a,
+             (SELECT COUNT(*) FROM db) AS exact_b,
+             (SELECT COUNT(*) FROM da JOIN db USING (d)) AS exact_inter
+    )
+    SELECT CAST(n_sketch AS BIGINT) AS n_sketch,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           round(CASE WHEN n_sketch < 128 THEN CAST(n_sketch AS DOUBLE)
+                 ELSE (n_sketch - 1) * 281474976710656.0 / kth_hash END, 2)
+             AS kmv_union_est,
+           round(CAST(n_shared AS DOUBLE) / n_sketch, 6) AS kmv_jaccard,
+           CAST(exact_a AS BIGINT) AS exact_a,
+           CAST(exact_b AS BIGINT) AS exact_b,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           round(CAST(exact_inter AS DOUBLE)
+                 / (exact_a + exact_b - exact_inter), 6) AS exact_jaccard
+    FROM agg, ex
+    """,
+)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV overlap sketch (operators/sketches.py): corpus A
+    is the documents table; corpus B is its even half with every 10th
+    text rewritten (the incremental-snapshot shape: mostly-shared, some
+    drift). Both engines build the k=128 minimum-hash sketches from the
+    SAME md5-derived 48-bit integers, so sketch size, k-th hash, union
+    estimate and sketch-Jaccard must match EXACTLY — alongside the exact
+    verification tier (full digest join) for calibration."""
+    from .operators.sketches import kmv_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    b = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return kmv_overlap(d, b, "text", k=128, include_exact=True)
