@@ -74,3 +74,59 @@ def salted_distinct_count(
         .agg(F.countDistinct(value).alias("_pd"))
     )
     return shard.groupBy(key).agg(F.sum("_pd").cast("long").alias(out_col))
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key — the
+    measurement that DECIDES whether the salted shapes above (or AQE
+    skew-join) are needed, instead of guessing:
+
+    ``n_rows``/``n_keys``/``avg_rows_per_key``, the hot key itself
+    (``max_key``, lexicographic-min tie-break) with ``max_key_rows`` and
+    ``top1_share``, the exact ``p99_key_rows`` percentile, ``skew_ratio``
+    (max/avg), and ``suggested_salt`` = ceil(max/p99) — how many ways the
+    hot key must split so its shards look like ordinary reducers (1 = no
+    salting needed).
+
+    Scale shape: one key-keyed count (map-side combine) and one single-row
+    aggregate over the per-key counts. The key-count table is |keys| rows,
+    not |corpus|; exact percentile over it is the same cost class the
+    doc_length_quantiles report already prices (swap approx_percentile at
+    10^12 distinct keys, documented there)."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hot = (
+        counts.orderBy(F.desc("c"), "k")
+        .limit(1)
+        .select(F.col("k").alias("max_key"))
+    )
+    agg = counts.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.percentile(F.col("c"), F.lit(0.99)).alias("_p99"),
+    ).crossJoin(hot)
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        F.round(avg, 4).alias("avg_rows_per_key"),
+        "max_key",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top1_share"),
+        F.round(F.col("_p99"), 4).alias("p99_key_rows"),
+        F.round(F.col("max_key_rows").cast("double") / avg, 4).alias(
+            "skew_ratio"
+        ),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(
+                F.col("max_key_rows").cast("double")
+                / F.greatest(F.col("_p99"), F.lit(1.0))
+            ).cast("long"),
+        ).alias("suggested_salt"),
+    )

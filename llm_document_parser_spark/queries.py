@@ -6447,3 +6447,58 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text")
     )
     return kmv_overlap(d, b, "text", k=128, include_exact=True)
+
+
+@query(
+    "host_skew_report",
+    """
+    WITH rows_t AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'hot.example'
+                  ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+             END AS host
+      FROM documents
+    ), counts AS (
+      SELECT host AS k, COUNT(*) AS c FROM rows_t GROUP BY host
+    ), hot AS (
+      SELECT k AS max_key FROM counts ORDER BY c DESC, k LIMIT 1
+    ), agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_key_rows,
+             quantile_cont(c, 0.99) AS p99
+      FROM counts
+    )
+    SELECT n_rows, n_keys,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_rows_per_key,
+           max_key, max_key_rows,
+           round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share,
+           round(p99, 4) AS p99_key_rows,
+           round(CAST(max_key_rows AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / n_keys), 4) AS skew_ratio,
+           CAST(greatest(1, CAST(ceil(CAST(max_key_rows AS DOUBLE)
+                / greatest(p99, 1.0)) AS BIGINT)) AS BIGINT)
+             AS suggested_salt
+    FROM agg, hot
+    """,
+)
+def host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (operators/salting.py:
+    key_skew_report): a synthesized zipfian host column where every 3rd
+    document piles onto one hot host. The report that decides whether
+    the salted aggregation shapes are needed — totals, hot-key identity
+    and share, exact p99 of key sizes, skew ratio and the ceil(max/p99)
+    salt suggestion — must match the oracle exactly (percentile
+    interpolation semantics pinned at 4dp, same as
+    doc_length_quantiles)."""
+    from .operators.salting import key_skew_report
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("hot.example")
+    ).otherwise(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    return key_skew_report(d.select(host.alias("host")), "host")

@@ -92,3 +92,43 @@ def test_cap_per_group(spark):
         ).collect()
     }
     assert {(r["host"], r["doc_id"]) for r in rows} == again
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostics (lives with the other sampling/salting utility tests)
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_report_hand_values(spark):
+    import pyspark.sql.functions as F
+
+    from llm_document_parser_spark.operators.salting import key_skew_report
+
+    # hot key: 90 rows; 10 ordinary keys with 1..10 rows (sum 55)
+    rows = [("hot",)] * 90 + [
+        (f"k{i}",) for i in range(1, 11) for _ in range(i)
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    r = key_skew_report(df, "host").first()
+    assert (r["n_rows"], r["n_keys"]) == (145, 11)
+    assert (r["max_key"], r["max_key_rows"]) == ("hot", 90)
+    assert r["avg_rows_per_key"] == round(145 / 11, 4)
+    assert r["top1_share"] == round(90 / 145, 6)
+    assert r["skew_ratio"] == round(90 / (145 / 11), 4)
+    # counts sorted: [1..10, 90]; p99 interpolates between 10 and 90
+    p99 = 10 + (90 - 10) * (0.99 * 10 - 9)
+    assert r["p99_key_rows"] == round(p99, 4)
+    import math
+
+    assert r["suggested_salt"] == max(1, math.ceil(90 / p99))
+
+
+def test_key_skew_report_uniform_needs_no_salt(spark):
+    from llm_document_parser_spark.operators.salting import key_skew_report
+
+    rows = [(f"k{i}",) for i in range(20) for _ in range(5)]
+    df = spark.createDataFrame(rows, "host string")
+    r = key_skew_report(df, "host").first()
+    assert r["skew_ratio"] == 1.0
+    assert r["suggested_salt"] == 1
+    assert r["max_key"] == "k0"  # lexicographic-min tie-break
