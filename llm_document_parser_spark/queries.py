@@ -6502,3 +6502,42 @@ def host_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return key_skew_report(d.select(host.alias("host")), "host")
+
+
+@query(
+    "incremental_stats_merge",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars,
+           round(CAST(sum(length(text)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chars,
+           round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monoid-stats merge proof (operators/stats.py): the engine splits
+    the corpus into three deliberately UNEVEN batches (doc_id mod 5 ∈
+    {0}, {1,2}, {3,4} — one batch may even miss a source entirely),
+    computes per-batch stats, and tree-merges them; the oracle computes
+    the same stats from the full table in ONE pass. Identical rows prove
+    stats(A∪B∪C) == merge(stats(A), stats(B), stats(C)) — the property
+    that makes per-source accounting maintainable across 10^12-row
+    incremental ingests instead of recomputed."""
+    from .operators.stats import merge_stats, source_stats, with_derived
+
+    d = _t(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    batches = [
+        d.filter(m5 == 0),
+        d.filter((m5 == 1) | (m5 == 2)),
+        d.filter((m5 == 3) | (m5 == 4)),
+    ]
+    merged = merge_stats(*[source_stats(b) for b in batches])
+    return with_derived(merged)
