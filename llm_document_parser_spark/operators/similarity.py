@@ -407,3 +407,88 @@ def semdedup(
         clustered.select("id", "cell", "centroid_sim")
         .join(reps.select("id", "cluster", "keep_id", "keep"), "id")
     )
+
+
+def mine_contrastive_pairs(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    max_members: int = 4,
+    neg_buckets: int = 16,
+    salt: str = "cp",
+) -> DataFrame:
+    """Anchor/positive/negative training triplets from near-dup clusters —
+    the standard recipe for contrastive embedding training on web data
+    (near-dups are free positives; everything else is a negative).
+
+    * positives: intra-cluster pairs among each cluster's ``max_members``
+      hash-ranked representatives — the cap makes a 10^6-member
+      boilerplate megacluster contribute O(max_members²) pairs, not 10^12
+      (the quadratic guard every cluster consumer here uses),
+    * negatives: each anchor deterministically probes ONE md5 bucket of
+      the membership table and takes its hash-minimal different-cluster
+      doc — an equi-join on the bucket key, never a cross join; anchors
+      whose bucket holds only same-cluster docs get a null negative
+      (re-salt to re-draw).
+
+    Deterministic end-to-end (hashes, not RNG): same inputs + salt → same
+    triplets, so the DuckDB oracle replays it exactly and epoch re-draws
+    are just salt changes."""
+    idc = F.col(id_col).cast("string")
+    ranked = members.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        F.row_number()
+        .over(
+            Window.partitionBy(cluster_col).orderBy(
+                F.md5(F.concat(F.lit(salt), idc)), F.col(id_col)
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= max_members)
+    a = ranked.select(
+        F.col("id").alias("anchor_id"), "cluster", F.col("rnk").alias("ra")
+    )
+    b = ranked.select(
+        F.col("id").alias("positive_id"), "cluster", F.col("rnk").alias("rb")
+    )
+    pos = a.join(b, "cluster").where(F.col("ra") < F.col("rb")).select(
+        "anchor_id", "positive_id", F.col("cluster").alias("cluster_id")
+    )
+    bucket_of = lambda prefix, c: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), c)), 1, 4), 16, 10)
+        .cast("long")
+        % neg_buckets
+    )
+    cands = members.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(cluster_col).alias("cand_cluster"),
+        bucket_of(salt + "b", F.col(id_col).cast("string")).alias("bucket"),
+        F.concat(
+            F.md5(F.concat(F.lit(salt + "o"), F.col(id_col).cast("string"))),
+            F.lit("#"),
+            F.col(id_col).cast("string"),
+        ).alias("ord_key"),
+    )
+    probed = pos.withColumn(
+        "pbucket", bucket_of(salt + "a", F.col("anchor_id").cast("string"))
+    )
+    # cluster inequality lives in the JOIN condition, not a post-filter:
+    # a left join keeps an all-same-cluster bucket probe as a null
+    # negative instead of silently dropping the pair
+    cond = (probed["pbucket"] == cands["bucket"]) & (
+        cands["cand_cluster"] != probed["cluster_id"]
+    )
+    neg = (
+        probed.join(cands, cond, "left")
+        .groupBy("anchor_id", "positive_id", "cluster_id")
+        .agg(F.min("ord_key").alias("neg_key"))
+    )
+    return neg.select(
+        "anchor_id",
+        "positive_id",
+        "cluster_id",
+        F.split(F.col("neg_key"), "#").getItem(1).cast("long").alias(
+            "negative_id"
+        ),
+    )

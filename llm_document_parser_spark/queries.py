@@ -6541,3 +6541,63 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     merged = merge_stats(*[source_stats(b) for b in batches])
     return with_derived(merged)
+
+
+@query(
+    "contrastive_pairs",
+    """
+    WITH members AS (
+      SELECT doc_id AS id, CAST(doc_id // 4 AS BIGINT) AS cluster
+      FROM documents WHERE doc_id < 120
+    ), ranked AS (
+      SELECT id, cluster,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5('cp' || CAST(id AS VARCHAR)), id) AS rnk
+      FROM members
+    ), keep AS (SELECT * FROM ranked WHERE rnk <= 3),
+    pos AS (
+      SELECT a.id AS anchor_id, b.id AS positive_id,
+             a.cluster AS cluster_id
+      FROM keep a JOIN keep b ON a.cluster = b.cluster AND a.rnk < b.rnk
+    ), cands AS (
+      SELECT cluster AS cand_cluster,
+             CAST(('0x' || substr(md5('cpb' || CAST(id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 16 AS bucket,
+             md5('cpo' || CAST(id AS VARCHAR)) || '#'
+               || CAST(id AS VARCHAR) AS ord_key
+      FROM members
+    ), probed AS (
+      SELECT p.*,
+             CAST(('0x' || substr(md5('cpa' || CAST(anchor_id AS VARCHAR)),
+                                  1, 4)) AS BIGINT) % 16 AS pbucket
+      FROM pos p
+    ), neg AS (
+      SELECT anchor_id, positive_id, cluster_id, min(c.ord_key) AS neg_key
+      FROM probed LEFT JOIN cands c
+        ON c.bucket = probed.pbucket
+       AND c.cand_cluster <> probed.cluster_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT anchor_id, positive_id, cluster_id,
+           CAST(string_split(neg_key, '#')[2] AS BIGINT) AS negative_id
+    FROM neg
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (operators/similarity.py:
+    mine_contrastive_pairs) over synthesized 4-member clusters with the
+    representative cap at 3 (the 4th member must never appear):
+    positives from hash-ranked intra-cluster pairs, negatives from a
+    deterministic md5-bucket probe taking the hash-minimal
+    different-cluster doc. Every triplet — ids, cluster, negative choice
+    — must match the oracle's replay of the same hash algebra."""
+    from .operators.similarity import mine_contrastive_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    members = d.select(
+        "doc_id", F.expr("doc_id div 4").cast("long").alias("cluster_id")
+    )
+    return mine_contrastive_pairs(
+        members, max_members=3, neg_buckets=16, salt="cp"
+    )
