@@ -410,3 +410,69 @@ def zipf_fit(
             F.col("top_tokens").cast("double") / F.col("n_tokens"), 6
         ).alias("top_coverage"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", k: int = 50_000
+) -> DataFrame:
+    """Top-``k`` corpus tokens by frequency (deterministic tie-break:
+    count desc, token asc) — one count shuffle + TakeOrdered heap."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(k)
+        .select("tok")
+    )
+
+
+def oov_rate_by_group(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary accounting per group: ``n_docs``, ``n_tokens``,
+    ``n_oov``, micro-averaged ``oov_rate`` (Σoov/Σtokens — integer sums,
+    so no float-accumulation-order drift) and ``max_doc_oov_rate`` (the
+    worst single document). The tokenizer-coverage gate: a source whose
+    OOV rate jumps after a vocab change is about to waste token budget
+    on fragment sequences.
+
+    Scale shape: token explode → LEFT JOIN against the (broadcast-sized)
+    vocab — Catalyst broadcasts it map-side, corpus tokens never shuffle
+    for membership — then one doc-keyed and one group-keyed agg."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_rid"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    joined = toks.join(
+        F.broadcast(vocab.select(F.col("tok"), F.lit(1).alias("_in"))),
+        "tok",
+        "left",
+    )
+    per_doc = joined.groupBy("grp", "_rid").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("n_oov").cast("double") / F.sum("n_toks").cast("double"), 6
+        ).alias("oov_rate"),
+        F.round(
+            F.max(F.col("n_oov").cast("double") / F.col("n_toks")), 6
+        ).alias("max_doc_oov_rate"),
+    )

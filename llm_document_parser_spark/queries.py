@@ -6601,3 +6601,44 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_contrastive_pairs(
         members, max_members=3, neg_buckets=16, salt="cp"
     )
+
+
+@query(
+    "oov_rate_by_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ), t2 AS (SELECT * FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS n FROM t2 GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 200
+      )
+    ), per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS n_toks,
+             sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM t2 LEFT JOIN vocab v USING (tok)
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(n_oov) AS DOUBLE) / sum(n_toks), 6) AS oov_rate,
+           round(max(CAST(n_oov AS DOUBLE) / n_toks), 6)
+             AS max_doc_oov_rate
+    FROM per_doc GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage gate (operators/textstats.py:oov_rate_by_group)
+    against a top-200 corpus-learned vocabulary (build_vocab): per-source
+    micro-averaged OOV rate (integer sums — no float-order drift) and
+    the worst single document. Both engines learn the vocab, probe
+    membership and aggregate independently."""
+    from .operators.textstats import build_vocab, oov_rate_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate_by_group(d, build_vocab(d, k=200))

@@ -119,3 +119,52 @@ def test_zipf_fit_top_n_bounds_window(spark):
     assert r["n_types"] == 7 and r["n_tokens"] == 10
     # top-2 types are a(3), b(2) → coverage 5/10
     assert r["top_coverage"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# vocab / OOV accounting
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_hand_values(spark):
+    from llm_document_parser_spark.operators.textstats import (
+        build_vocab,
+        oov_rate_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "web", "the cat the dog"),  # all in-vocab (top-3)
+            (1, "web", "the zebra quux"),  # 2/3 OOV
+            (2, "books", "cat dog unseen"),  # 1/3 OOV
+        ],
+        "doc_id long, source string, text string",
+    )
+    vocab = build_vocab(docs, k=3)  # the(3), cat(2), dog(2)
+    assert sorted(r["tok"] for r in vocab.collect()) == ["cat", "dog", "the"]
+    got = {
+        r["source"]: r
+        for r in oov_rate_by_group(docs, vocab).collect()
+    }
+    web = got["web"]
+    assert (web["n_docs"], web["n_tokens"], web["n_oov"]) == (2, 7, 2)
+    assert web["oov_rate"] == round(2 / 7, 6)
+    assert web["max_doc_oov_rate"] == round(2 / 3, 6)
+    books = got["books"]
+    assert books["oov_rate"] == round(1 / 3, 6)
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    from llm_document_parser_spark.operators.textstats import (
+        build_vocab,
+        oov_rate_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "s", "a b c")], "doc_id long, source string, text string"
+    )
+    plan = (
+        oov_rate_by_group(docs, build_vocab(docs, k=2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus tokens never shuffle for membership
