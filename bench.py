@@ -506,6 +506,37 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: heading outline + mojibake repair over the 50k raw pages ---
+    # heading_outline prices the 10-expr shared window (one shuffle on url);
+    # mojibake repair prices the production fast path — translate + two
+    # rlike gates over text that is almost entirely CLEAN, which is exactly
+    # the per-row cost a 10^12-doc corpus pays for the damaged minority
+    from llm_document_parser_spark.operators.content import heading_outline
+    from llm_document_parser_spark.operators.normalize import repair_mojibake
+
+    # generate_pages markup carries no h1-h6, so the leg injects a 5-heading
+    # skeleton per page (narrow concat, negligible vs the window) — 250k
+    # outline rows through the shared-window ancestor chain, not a no-op scan
+    outline_pages = pages_raw.select(
+        "url",
+        F.concat(
+            F.lit("<h1>Doc "), F.col("url"),
+            F.lit("</h1><h2>Intro</h2>"), F.col("html_text"),
+            F.lit("<h2>Tail</h2><h1>End</h1><h3>Deep</h3>"),
+        ).alias("html_text"),
+    )
+    add_leg(
+        "heading_outline_50k",
+        lambda: heading_outline(outline_pages, html_col="html_text")
+        .write.format("noop").mode("overwrite").save(),
+    )
+    add_leg(
+        "mojibake_repair_50k",
+        lambda: pages_raw.select(
+            "url", repair_mojibake(F.col("html_text")).alias("fixed")
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # --- execute: two full passes over every leg, min reported ---
     query_runs: dict[str, list[float]] = {name: [] for name, _ in legs}
     for _trial in range(2):
