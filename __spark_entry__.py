@@ -181,6 +181,26 @@ _DEMOTED = (
     "expensive_parts_by_brand",
     "supplier_nation_balance",
     "revenue_rollup",
+    # ...and to 131 (heading_outline_paths, mojibake_repaired_docs,
+    # host_link_spam, recrawl_schedule_plan, vocab_zipf_fit,
+    # bitext_sentence_align, corpus_overlap_kmv, host_skew_report,
+    # incremental_stats_merge, contrastive_pairs, oov_rate_by_source,
+    # lang_label_agreement, syndicated_title_clusters — new this session,
+    # stay in the window); thirteen more long-stable rows with standing
+    # pytest + CHECK_FULL coverage yield their slots
+    "pricing_summary",
+    "docs_regex_filter",
+    "docs_first_after_the",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_token_counts",
+    "doc_fingerprint",
+    "canonical_url_stats",
+    "doc_repetition_stats",
+    "simhash_fingerprints",
+    "jaccard_similarity_pairs",
+    "embedding_near_dups",
+    "distinct_parts_per_flag",
 )
 
 

@@ -6642,3 +6642,109 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return oov_rate_by_group(d, build_vocab(d, k=200))
+
+
+ORACLES["lang_label_agreement"] = (
+    "WITH pred AS (" + _LANG_ID_ORACLE + "), "
+    "j AS (SELECT d.source, d.lang, p.lang_pred "
+    "      FROM documents d JOIN pred p USING (doc_id)) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS n_agree, "
+    "  round(CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) "
+    "        AS DOUBLE) / COUNT(*), 6) AS agreement_rate "
+    "FROM j GROUP BY source"
+)
+
+
+@query("lang_label_agreement", None)  # oracle attached above (shared CTE)
+def lang_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-detector audit (CCNet's sanity check before trusting
+    either): per source, how often the table's ``lang`` label agrees
+    with the engine's stopword-argmax detector
+    (operators/textstats.py:lang_id). A source whose agreement collapses
+    is mislabeled or off-profile and needs review before lang-routed
+    curation. Composition query: the lang_id oracle CTE is REUSED
+    verbatim so the two catalog entries can never drift apart."""
+    d = _t(spark, sf_dir, "documents")
+    agree = (F.col("lang") == textstats.lang_id(F.col("text"))).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(agree).cast("long").alias("n_agree"),
+        F.round(
+            F.sum(agree).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("agreement_rate"),
+    )
+
+
+@query(
+    "syndicated_title_clusters",
+    """
+    WITH pages AS (
+      SELECT 'https://h' || CAST(doc_id % 11 AS VARCHAR) || '.example/a/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '<html><head><title>  Story ' || CAST(doc_id % 30 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN ': The  UPDATE!'
+                       ELSE ': the update' END
+               || '</title></head><body>x</body></html>' AS html
+      FROM documents WHERE doc_id < 240
+    ), t AS (
+      SELECT url,
+             regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)
+               AS title
+      FROM pages
+    ), k AS (
+      SELECT url,
+             trim(regexp_replace(regexp_replace(lower(title),
+                  '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS title_key,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host
+      FROM t
+    )
+    SELECT title_key,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           min(url) AS first_url
+    FROM k GROUP BY title_key HAVING COUNT(*) >= 2
+    """,
+)
+def syndicated_title_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication detection by normalized title (the news-wire dedup
+    key: the same AP story under 30 mastheads): titles extracted with
+    the engine's metadata regex, normalized (lowercase, punctuation →
+    space, whitespace collapse — case/punct variants MUST collide),
+    grouped across hosts, singletons dropped. Cluster keys, sizes,
+    distinct-host counts and representative urls must match."""
+    from .operators.metadata import page_title
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (did % 11).cast("string"),
+        F.lit(".example/a/"), did.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>  Story "), (did % 30).cast("string"),
+        F.when(did % 2 == 0, F.lit(": The  UPDATE!")).otherwise(
+            F.lit(": the update")
+        ),
+        F.lit("</title></head><body>x</body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    title_key = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(page_title(F.col("html"))), "[^a-z0-9 ]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    return (
+        pages.select(title_key.alias("title_key"), host.alias("host"), "url")
+        .groupBy("title_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.min("url").alias("first_url"),
+        )
+        .where(F.col("n_pages") >= 2)
+    )
