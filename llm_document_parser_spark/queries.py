@@ -6748,3 +6748,83 @@ def syndicated_title_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pages") >= 2)
     )
+
+
+def _trustprop_oracle(
+    edges_cte: str, seeds_cte: str, iters: int, alpha: float
+) -> str:
+    """Unrolled-CTE DuckDB mirror of labelprop.propagate_trust (biased
+    seed restart, weighted out-edge split, trust absorbed at dangling
+    hosts). Same unrolling rationale as _pagerank_oracle."""
+    parts = [
+        f"WITH {edges_cte},",
+        f"{seeds_cte},",
+        "outw AS (SELECT src_host, CAST(sum(n_links) AS DOUBLE) AS out_weight"
+        " FROM edges GROUP BY src_host),",
+        "nodes AS (SELECT DISTINCT host FROM ("
+        "  SELECT src_host AS host FROM edges"
+        "  UNION ALL SELECT dst_host FROM edges"
+        "  UNION ALL SELECT host FROM seeds)),",
+        "sv AS (SELECT n.host, coalesce(s.seed, 0.0) AS seed"
+        " FROM nodes n LEFT JOIN seeds s ON n.host = s.host),",
+        "t0 AS (SELECT host, seed, seed AS score FROM sv),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"c{i} AS (SELECT e.dst_host AS host,"
+            " sum(t.score * e.n_links / o.out_weight) AS in_mass"
+            f" FROM t{i} t JOIN edges e ON t.host = e.src_host"
+            " JOIN outw o ON o.src_host = e.src_host GROUP BY e.dst_host),"
+        )
+        parts.append(
+            f"t{i + 1} AS (SELECT s.host, s.seed,"
+            f" (1 - {alpha}) * s.seed"
+            f" + {alpha} * coalesce(c.in_mass, 0.0) AS score"
+            f" FROM sv s LEFT JOIN c{i} c ON s.host = c.host),"
+        )
+    parts.append(
+        f"final AS (SELECT host, score FROM t{iters})"
+        " SELECT host, round(score, 7) AS trust_r FROM final"
+    )
+    return "\n".join(parts)
+
+
+_TRUST_SEEDS_CTE = """seeds AS (
+  SELECT 'h0' AS host, 1.0 AS seed
+  UNION ALL SELECT 'h1', 1.0
+  UNION ALL SELECT 'h5', 0.5)"""
+
+
+@query("host_trust_propagation", None)  # oracle attached below (generated)
+def host_trust_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style seeded trust propagation (operators/labelprop.py)
+    on the SAME deterministic host graph as host_pagerank — two hand-
+    trusted hosts (h0, h1) and one half-trusted (h5), 3 synchronous
+    iterations, alpha 0.85. Sharing the edge synthesis with host_pagerank
+    pins both graph algorithms to one graph, so the two oracles can never
+    drift onto different inputs. Scores matched to 7 decimals (same
+    double-sum-ordering argument as the PageRank oracle). Extends the
+    reference's per-document quality surface (src/document_parser.py
+    classify step) with the host-level prior a crawl-scale corpus needs."""
+    from .operators.labelprop import propagate_trust
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    src = F.concat(F.lit("h"), (did % 12).cast("string"))
+    dst = F.concat(F.lit("h"), ((did * 5 + 3) % 14).cast("string"))
+    edges = (
+        d.select(src.alias("src_host"), dst.alias("dst_host"), did)
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum(F.col("doc_id") % 3 + 1).alias("n_links"))
+    )
+    seeds = spark.createDataFrame(
+        [("h0", 1.0), ("h1", 1.0), ("h5", 0.5)], "host string, seed double"
+    )
+    trust = propagate_trust(edges, seeds, iterations=3, alpha=0.85)
+    return trust.select("host", F.round("trust", 7).alias("trust_r"))
+
+
+ORACLES["host_trust_propagation"] = _trustprop_oracle(
+    _PR_EDGES_CTE, _TRUST_SEEDS_CTE, 3, 0.85
+)
