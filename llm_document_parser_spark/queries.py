@@ -6828,3 +6828,92 @@ def host_trust_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["host_trust_propagation"] = _trustprop_oracle(
     _PR_EDGES_CTE, _TRUST_SEEDS_CTE, 3, 0.85
 )
+
+
+def _lr_fit_oracle(
+    n_buckets: int, iters: int, lr: float, label_sql: str, where_sql: str
+) -> str:
+    """Unrolled-CTE DuckDB mirror of ml/lr_dataflow.lr_fit_dataflow:
+    hashed-unigram rate features, zero init, full-batch mean-gradient
+    descent on sigmoid log-loss. Each iteration is four CTEs (margins,
+    probabilities folded in, per-bucket gradient, weight/bias update) —
+    an iterative ML trainer expressed as SQL, the same cross-engine
+    discipline as _pagerank_oracle."""
+    hexd = "'0123456789abcdef'"
+    bucket = (
+        f"((strpos({hexd}, substr(md5(token), 1, 1)) - 1) * 16"
+        f" + (strpos({hexd}, substr(md5(token), 2, 1)) - 1)) % {n_buckets}"
+    )
+    parts = [
+        "WITH raw AS (SELECT doc_id, unnest(string_split(lower(text), ' '))"
+        f" AS token FROM documents{where_sql}),",
+        "t AS (SELECT * FROM raw WHERE token <> ''),",
+        "n AS (SELECT doc_id, count(*)::DOUBLE AS nt FROM t GROUP BY doc_id),",
+        f"bk AS (SELECT doc_id, {bucket} AS bucket FROM t),",
+        "x AS (SELECT bk.doc_id, bucket, count(*)::DOUBLE / any_value(nt) AS x"
+        " FROM bk JOIN n ON bk.doc_id = n.doc_id GROUP BY bk.doc_id, bucket),",
+        f"docs AS (SELECT doc_id, {label_sql} AS y FROM documents"
+        f"{where_sql + ' AND' if where_sql else ' WHERE'}"
+        " doc_id IN (SELECT doc_id FROM n)),",
+        "nd AS (SELECT count(*)::DOUBLE AS n_docs FROM docs),",
+        f"w0 AS (SELECT CAST(range AS INT) AS bucket, 0.0 AS w"
+        f" FROM range(0, {n_buckets})),",
+        "b0 AS (SELECT 0.0 AS b),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"m{i} AS (SELECT d.doc_id, d.y,"
+            " 1 / (1 + exp(-((SELECT b FROM b" + str(i) + ")"
+            " + coalesce(s.m, 0.0)))) AS p"
+            " FROM docs d LEFT JOIN"
+            f" (SELECT x.doc_id, sum(x.x * w.w) AS m FROM x"
+            f"  JOIN w{i} w ON x.bucket = w.bucket GROUP BY x.doc_id) s"
+            " ON d.doc_id = s.doc_id),"
+        )
+        parts.append(
+            f"g{i} AS (SELECT x.bucket,"
+            " sum((m.p - m.y) * x.x) / (SELECT n_docs FROM nd) AS g"
+            f" FROM x JOIN m{i} m ON x.doc_id = m.doc_id GROUP BY x.bucket),"
+        )
+        parts.append(
+            f"w{i + 1} AS (SELECT w.bucket, w.w - {lr} * coalesce(g.g, 0.0)"
+            f" AS w FROM w{i} w LEFT JOIN g{i} g ON w.bucket = g.bucket),"
+        )
+        parts.append(
+            f"b{i + 1} AS (SELECT (SELECT b FROM b{i})"
+            f" - {lr} * sum(p - y) / (SELECT n_docs FROM nd) AS b"
+            f" FROM m{i}),"
+        )
+    parts.append(
+        f"final AS (SELECT CAST(bucket AS BIGINT) AS bucket, w FROM w{iters}"
+        f" UNION ALL SELECT -1, b FROM b{iters})"
+        " SELECT bucket, round(w, 6) AS w_r FROM final"
+    )
+    return "\n".join(parts)
+
+
+@query("lr_langid_fit", None)  # oracle attached below (generated)
+def lr_langid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (ml/lr_dataflow.py) predicting
+    lang='en' from 16 hashed-unigram rate features — the fastText-style
+    quality/language classifier shape of DCLM/CCNet curation, trained as
+    pure dataflow: zero-shuffle featurization (HOFs over the token
+    array), one tree-aggregated gradient pass per iteration, model state
+    (17 doubles) on the driver. 3 full-batch steps, lr=1.0, weights
+    published at 6 decimals; bucket -1 carries the bias. The oracle
+    unrolls the identical algebra as chained DuckDB CTEs."""
+    from .ml.lr_dataflow import hashed_token_features, lr_fit_dataflow
+
+    d = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(
+        d, label_col=(F.col("lang") == "en"), n_buckets=16
+    )
+    weights, bias = lr_fit_dataflow(feats, n_buckets=16, iterations=3, lr=1.0)
+    rows = [(b, w) for b, w in enumerate(weights)] + [(-1, bias)]
+    model = spark.createDataFrame(rows, "bucket long, w double")
+    return model.select("bucket", F.round("w", 6).alias("w_r"))
+
+
+ORACLES["lr_langid_fit"] = _lr_fit_oracle(
+    16, 3, 1.0, "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END", ""
+)
