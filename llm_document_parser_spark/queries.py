@@ -6917,3 +6917,49 @@ def lr_langid_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["lr_langid_fit"] = _lr_fit_oracle(
     16, 3, 1.0, "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END", ""
 )
+
+
+@query(
+    "margin_bitext_pairs",
+    f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 120 AND vec_id % 2 = 0),
+    b AS (SELECT vec_id AS b_id, embedding AS cv FROM embeddings
+          WHERE vec_id < 120 AND vec_id % 2 = 1),
+    s AS (SELECT a_id, b_id, {{COS}} AS cos FROM a, b),
+    fk AS (SELECT a_id, avg(cos) AS fwd FROM (
+             SELECT a_id, cos, row_number() OVER (
+               PARTITION BY a_id ORDER BY cos DESC, b_id) AS r FROM s)
+           WHERE r <= 4 GROUP BY a_id),
+    bk AS (SELECT b_id, avg(cos) AS bwd FROM (
+             SELECT b_id, cos, row_number() OVER (
+               PARTITION BY b_id ORDER BY cos DESC, a_id) AS r FROM s)
+           WHERE r <= 4 GROUP BY b_id),
+    m AS (SELECT s.a_id, s.b_id,
+                 round(s.cos / ((fwd + bwd) / 2), 6) AS margin
+          FROM s JOIN fk USING (a_id) JOIN bk USING (b_id)),
+    rk AS (SELECT a_id, b_id, margin,
+                  row_number() OVER (PARTITION BY a_id
+                                     ORDER BY margin DESC, b_id) AS fr,
+                  row_number() OVER (PARTITION BY b_id
+                                     ORDER BY margin DESC, a_id) AS br
+           FROM m)
+    SELECT a_id, b_id, margin, (br = 1) AS mutual
+    FROM rk WHERE fr = 1 AND margin >= 1.0
+    """.replace("{COS}", _COSINE_SQL),
+)
+def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (operators/bitext.py,
+    Artetxe-Schwenk ratio criterion) between two embedding pools (even
+    vec_ids as the source language, odd as the target — a deterministic
+    stand-in for two monolingual shards): per source vector its
+    argmax-margin partner with margin >= 1.0 and a mutual-best flag.
+    All-pairs verification tier; the scale path feeds the same algebra
+    with LSH/IVF candidates. Cosines and margins rounded to 6 BEFORE
+    ranking so ordering is engine-invariant."""
+    from .operators.bitext import margin_mined_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+    return margin_mined_pairs(a, b, k=4, threshold=1.0)
