@@ -6963,3 +6963,82 @@ def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("vec_id") % 2 == 0)
     b = e.filter(F.col("vec_id") % 2 == 1)
     return margin_mined_pairs(a, b, k=4, threshold=1.0)
+
+
+def _kmeans_oracle(
+    n_vecs: int, dim: int, init_ids: list[int], iters: int
+) -> str:
+    """Unrolled-CTE DuckDB mirror of ml/kmeans_dataflow.kmeans_lloyd over
+    the unnested (vec_id, dim, val) relation: per iteration a distance
+    CTE (round 9 before the argmin — discrete decisions never ride on
+    sub-round float noise), an argmin assignment, and a per-(cell,dim)
+    mean with empty cells keeping their previous centroid."""
+    seeds = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {vid} AS vid" for c, vid in enumerate(init_ids)
+    )
+    parts = [
+        f"WITH e AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {n_vecs}),",
+        f"v AS (SELECT vec_id, range AS dim,"
+        f" CAST(embedding[range] AS DOUBLE) AS val"
+        f" FROM e, range(1, {dim + 1})),",
+        f"seedmap AS ({seeds}),",
+        "c0 AS (SELECT s.cell, v.dim, v.val AS w FROM seedmap s"
+        " JOIN v ON v.vec_id = s.vid),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT v.vec_id, c.cell,"
+            " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+            f" FROM v JOIN c{i} c ON v.dim = c.dim"
+            " GROUP BY v.vec_id, c.cell),"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f"  SELECT vec_id, cell, row_number() OVER ("
+            "     PARTITION BY vec_id ORDER BY dist, cell) AS r"
+            f"  FROM d{i}) WHERE r = 1),"
+        )
+        parts.append(
+            f"n{i} AS (SELECT a.cell, v.dim, avg(v.val) AS w"
+            f" FROM a{i} a JOIN v ON v.vec_id = a.vec_id"
+            " GROUP BY a.cell, v.dim),"
+        )
+        parts.append(
+            f"c{i + 1} AS (SELECT c.cell, c.dim, coalesce(n.w, c.w) AS w"
+            f" FROM c{i} c LEFT JOIN n{i} n"
+            " ON c.cell = n.cell AND c.dim = n.dim),"
+        )
+    parts.append(
+        f"final AS (SELECT cell, dim, w FROM c{iters})"
+        " SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,"
+        " round(w, 6) AS w_r FROM final"
+    )
+    return "\n".join(parts)
+
+
+_KMEANS_INIT_IDS = [0, 7, 19, 23]
+
+
+@query("kmeans_cell_centroids", None)  # oracle attached below (generated)
+def kmeans_cell_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means as verified dataflow (ml/kmeans_dataflow.py):
+    4 cells seeded from explicit vector ids, 2 synchronous iterations
+    over the first 300 embeddings — the deterministic trainer behind an
+    IVF coarse quantizer, with every assignment and mean re-derived by
+    the unrolled DuckDB oracle. Output is the flattened (cell, dim,
+    weight) centroid relation at 6 decimals; dims are 1-based to match
+    SQL list indexing. Third iterative algorithm verified cross-engine
+    (after host_pagerank and lr_langid_fit)."""
+    from .ml.kmeans_dataflow import kmeans_lloyd
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    cents = kmeans_lloyd(e, _KMEANS_INIT_IDS, iterations=2)
+    rows = [
+        (c, d + 1, w) for c, vec in enumerate(cents) for d, w in enumerate(vec)
+    ]
+    model = spark.createDataFrame(rows, "cell long, dim long, w double")
+    return model.select("cell", "dim", F.round("w", 6).alias("w_r"))
+
+
+ORACLES["kmeans_cell_centroids"] = _kmeans_oracle(300, 64, _KMEANS_INIT_IDS, 2)
