@@ -368,3 +368,85 @@ def weighted_sample(
     return sel.withColumn(
         "sample_rank", F.row_number().over(w).cast("long")
     ).select("id", "weight", F.round("_key", 6).alias("es_key"), "sample_rank")
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: float = 2.0,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget split across languages (Chung et al., "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", ICLR 2023): give every language an equal
+    share of ``budget_tokens``, except a language may contribute at most
+    ``max_epochs`` passes over its own data — leftover from those capped
+    (low-resource) languages is re-split uniformly over the rest.
+    Temperature sampling (domain_temperature_sample) still OVER-samples
+    tiny languages into dozens of repeat epochs at large budgets; the
+    epoch cap is the fix.
+
+    The iterative waterfilling has a closed relational form: order
+    languages by capacity ``c = max_epochs * n_tokens`` ascending — the
+    capped set is always a PREFIX of that order (if a language's equal
+    share of what remains exceeds its capacity, so does every larger
+    language's), and a language is capped iff
+
+        c_i * (k - i + 1) <= budget - prefix_{i-1}
+
+    (i = ascending capacity rank, k = number of languages, prefix =
+    running capacity sum), an integer-free comparison on doubles that one
+    window computes; the uncapped share is then
+    ``(budget - sum of capped capacities) / n_uncapped``, a 1-row
+    broadcast aggregate. Returns one row per language: (lang, n_tokens,
+    capped, alloc_tokens, epochs) with floats rounded to 4.
+
+    Scale shape: the only corpus-sized work is the per-language token
+    count (one groupBy); the window and the 1-row cross join run on the
+    LANGUAGE table (hundreds of rows), so the allocation itself is free
+    at any corpus size.
+    """
+    from .textstats import token_count
+
+    k_tok = (
+        docs.select(F.col(lang_col).alias("lang"), token_count(F.col(text_col)).alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").cast("double").alias("n_tokens"))
+    )
+    cap = (F.col("n_tokens") * F.lit(float(max_epochs))).alias("c")
+    w = Window.orderBy(F.col("c").asc(), F.col("lang").asc())
+    ranked = (
+        k_tok.select("lang", "n_tokens", cap)
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    b = float(budget_tokens)
+    capped = (F.col("c") * (F.col("k") - F.col("i") + 1)) <= (b - F.col("prefix"))
+    flagged = ranked.withColumn("capped", capped)
+    pool = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("c"))), F.lit(0.0)).alias(
+            "capped_mass"
+        ),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).alias("n_uncapped"),
+    )
+    alloc = F.when(F.col("capped"), F.col("c")).otherwise(
+        (b - F.col("capped_mass")) / F.col("n_uncapped")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(pool))
+        .select(
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "capped",
+            F.round(alloc, 4).alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
+        )
+    )

@@ -7042,3 +7042,48 @@ def kmeans_cell_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["kmeans_cell_centroids"] = _kmeans_oracle(300, 64, _KMEANS_INIT_IDS, 2)
+
+
+@query(
+    "unimax_lang_budget",
+    """
+    WITH k_tok AS (
+      SELECT lang,
+             CAST(sum(len(string_split(lower(text), ' '))) AS DOUBLE)
+               AS n_tokens
+      FROM documents GROUP BY lang),
+    r AS (
+      SELECT lang, n_tokens, n_tokens * 1.2 AS c,
+             row_number() OVER (ORDER BY n_tokens * 1.2, lang) AS i,
+             coalesce(sum(n_tokens * 1.2) OVER (
+               ORDER BY n_tokens * 1.2, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+             count(*) OVER () AS k
+      FROM k_tok),
+    f AS (SELECT *, (c * (k - i + 1) <= 30000 - prefix) AS capped FROM r),
+    p AS (SELECT coalesce(sum(CASE WHEN capped THEN c END), 0)
+                   AS capped_mass,
+                 sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS n_uncapped
+          FROM f)
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, capped,
+           round(CASE WHEN capped THEN c
+                      ELSE (30000 - capped_mass) / n_uncapped END, 4)
+             AS alloc_tokens,
+           round(CASE WHEN capped THEN c
+                      ELSE (30000 - capped_mass) / n_uncapped END
+                 / n_tokens, 4) AS epochs
+    FROM f, p
+    """,
+)
+def unimax_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped language budgeting (operators/sampling.py):
+    30k-token budget over the corpus's languages, at most 1.2 epochs per
+    language — low-resource languages cap out and their leftover re-
+    splits uniformly, the closed-form waterfilling computed by one window
+    over the language table. Per-language token counts, capped flag,
+    allocation and resulting epochs, floats at 4 decimals."""
+    from .operators.sampling import unimax_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return unimax_allocation(d, budget_tokens=30000, max_epochs=1.2)
