@@ -162,3 +162,72 @@ def page_jsonld(df: DataFrame, html_col: str = "html_text") -> DataFrame:
             "author_name": jsonld_field(h, "$.author.name"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternates — the site-declared translation graph
+# ---------------------------------------------------------------------------
+# <link rel="alternate" hreflang="xx" href="..."> enumerates a page's own
+# translations — the SITE-declared parallel-document signal (Google's
+# multilingual annotation; ParaCrawl seeds candidate pairs from exactly
+# this before any content alignment). Pages listing the same alternate
+# set form a translation cluster: bitext mining's highest-precision,
+# zero-inference candidate source, complementing the path-pattern miner
+# (urls.bitext_url_pairs) and the embedding miner
+# (bitext.margin_mined_pairs). Same single-attribute-order discipline as
+# feeds._FEED_LINK_RE: one (?is) RE2-safe pattern, rel before hreflang
+# before href; reversed-attribute markup is out of scope by design.
+
+_HREFLANG_RE = (
+    r"""(?is)<link\s[^>]*rel\s*=\s*["']alternate["']"""
+    r"""[^>]*hreflang\s*=\s*["']([a-zA-Z0-9-]+)["']"""
+    r"""[^>]*href\s*=\s*["']([^"']+)["']"""
+)
+
+
+def hreflang_alternates(
+    df: DataFrame, url_col: str = "url", html_col: str = "html_text"
+) -> DataFrame:
+    """(url, hreflang, target) per declared alternate: language codes
+    lowercased (BCP 47 is case-insensitive), pages with no annotations
+    contribute no rows. Narrow per-row regex work then one explode —
+    no shuffle until the caller aggregates."""
+    langs = F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_RE), 1)
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_RE), 2)
+    pairs = F.arrays_zip(
+        F.transform(langs, F.lower).alias("hreflang"), hrefs.alias("target")
+    )
+    return (
+        df.select(F.col(url_col).alias("url"), F.explode(pairs).alias("p"))
+        .select("url", F.col("p.hreflang").alias("hreflang"), F.col("p.target").alias("target"))
+    )
+
+
+def hreflang_clusters(alternates: DataFrame) -> DataFrame:
+    """Translation clusters from hreflang annotations: pages sharing an
+    identical alternate-target SET get one cluster key (md5 of the
+    sorted, deduplicated target list — portable across engines), with
+    page / target / language counts per cluster. One groupBy(url) to
+    build each page's set signature, one groupBy(key) to cluster — both
+    key-partitioned; at crawl scale the cluster key is also the natural
+    shard key for downstream pair generation."""
+    sig = (
+        alternates.groupBy("url")
+        .agg(
+            F.md5(
+                F.concat_ws("\n", F.array_sort(F.collect_set("target")))
+            ).alias("group_key"),
+            F.collect_set("hreflang").alias("langs"),
+            F.collect_set("target").alias("targets"),
+        )
+    )
+    return sig.groupBy("group_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min("url").alias("first_url"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("langs")))), ","
+        ).alias("langs_csv"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("targets"))))
+        .cast("long")
+        .alias("n_targets"),
+    )

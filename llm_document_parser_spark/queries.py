@@ -7087,3 +7087,92 @@ def unimax_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return unimax_allocation(d, budget_tokens=30000, max_epochs=1.2)
+
+
+_HREFLANG_SQL_RE = (
+    "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']alternate[\"']"
+    "[^>]*hreflang\\s*=\\s*[\"']([a-zA-Z0-9-]+)[\"']"
+    "[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"
+)
+
+
+@query(
+    "hreflang_translation_clusters",
+    """
+    WITH pages AS (
+      SELECT 'https://s' || CAST(doc_id % 30 AS VARCHAR) || '.example/'
+               || CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                  ELSE 'de' END AS url,
+             CASE WHEN doc_id % 7 = 0 THEN '<html><body>x</body></html>'
+             ELSE
+               '<link rel="alternate" hreflang="en" href="https://s'
+                 || CAST(doc_id % 30 AS VARCHAR) || '.example/en">'
+               || '<link rel="alternate" hreflang="fr" href="https://s'
+                 || CAST(doc_id % 30 AS VARCHAR) || '.example/fr">'
+               || '<link rel="alternate" hreflang="de" href="https://s'
+                 || CAST(doc_id % 30 AS VARCHAR) || '.example/de">'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '<link rel="alternate" hreflang="x-default"'
+                    || ' href="https://s' || CAST(doc_id % 30 AS VARCHAR)
+                    || '.example/en">'
+                  ELSE '' END
+             END AS html
+      FROM documents WHERE doc_id < 180),
+    alt AS (
+      SELECT url,
+             lower(unnest(regexp_extract_all(html, '{RE}', 1))) AS hreflang,
+             unnest(regexp_extract_all(html, '{RE}', 2)) AS target
+      FROM pages),
+    sig AS (
+      SELECT url,
+             md5(array_to_string(list_sort(list(DISTINCT target)), chr(10)))
+               AS group_key,
+             list(DISTINCT hreflang) AS langs,
+             list(DISTINCT target) AS targets
+      FROM alt GROUP BY url)
+    SELECT group_key,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           min(url) AS first_url,
+           array_to_string(list_sort(list_distinct(flatten(list(langs)))), ',')
+             AS langs_csv,
+           CAST(len(list_distinct(flatten(list(targets)))) AS BIGINT)
+             AS n_targets
+    FROM sig GROUP BY group_key
+    """.replace("{RE}", _HREFLANG_SQL_RE.replace("'", "''")),
+)
+def hreflang_translation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-declared translation clusters (operators/metadata.py
+    hreflang_alternates + hreflang_clusters) over synthesized multilingual
+    page sets: 30 sites x 3 language versions, English pages adding an
+    x-default annotation pointing at themselves (exercising target-set
+    dedup), every-7th page unannotated (contributing nothing). Cluster
+    key is the md5 of the sorted deduplicated target set; language lists
+    surface as sorted CSV so set ordering never leaks into the hash."""
+    from .operators.metadata import hreflang_alternates, hreflang_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+    did = F.col("doc_id")
+    site = F.concat(F.lit("https://s"), (did % 30).cast("string"), F.lit(".example/"))
+    own = F.element_at(F.array(F.lit("en"), F.lit("fr"), F.lit("de")), (did % 3 + 1).cast("int"))
+
+    def link(lang, href_lang):
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="' + lang + '" href="'),
+            site,
+            F.lit(href_lang + '">'),
+        )
+
+    annotated = F.concat(
+        link("en", "en"),
+        link("fr", "fr"),
+        link("de", "de"),
+        F.when(did % 3 == 0, link("x-default", "en")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        F.concat(site, own).alias("url"),
+        F.when(did % 7 == 0, F.lit("<html><body>x</body></html>"))
+        .otherwise(annotated)
+        .alias("html"),
+    )
+    alts = hreflang_alternates(pages, html_col="html")
+    return hreflang_clusters(alts)
