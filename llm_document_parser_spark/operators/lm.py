@@ -197,3 +197,96 @@ def cap_vocab(lm: DataFrame, vocab_limit: int) -> DataFrame:
     orderBy+limit compiles to TakeOrderedAndProject (per-partition top-K,
     then a K-row merge), not a global sort — safe on a 10^9-row vocab."""
     return lm.orderBy(F.col("logp").desc(), "token").limit(vocab_limit)
+
+
+def source_unigram_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """KL(p_source || p_corpus) per source over add-``alpha``-smoothed
+    unigram distributions on the GLOBAL vocabulary — the dataset-mixture
+    diagnostic (a source whose divergence spikes is off-distribution:
+    wrong language, boilerplate flood, scraper bug) used when composing
+    pretraining mixtures (Pile/ROOTS-style per-component audits).
+
+    The textbook sum runs over every (source, vocab-token) pair including
+    tokens the source never uses — a |sources| x V cross join, ruinous at
+    web scale. Smoothing makes every absent token of a source share ONE
+    probability p0 = alpha/D_s, so the absent part collapses in closed
+    form:
+
+        KL_s = SUM_present p_st ln(p_st/q_t)
+             + p0 * [ (V - V_s) ln p0  -  (L - SUM_present ln q_t) ]
+
+    with L = SUM over vocab of ln q_t (a 1-row global) — only
+    present-token rows are ever materialized. The DuckDB oracle
+    (queries.source_divergence_audit) deliberately computes the NAIVE
+    full-vocabulary cross join instead; the match proves the
+    decomposition, not just the arithmetic.
+
+    Scale shape: one (source, token) groupBy; the vocab table derives
+    from it by a second groupBy (no second corpus pass); the per-source
+    pass joins aggregated counts to the vocab on token — both sides
+    already aggregated, so Zipf skew hits bounded cardinalities, not raw
+    rows. Globals ride as 1-row broadcast cross joins.
+    """
+    a = float(alpha)
+    toks = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    cs = toks.groupBy("source", "token").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    ct = cs.groupBy("token").agg(F.sum("c").alias("c_t"))
+    g1 = ct.agg(
+        F.sum("c_t").alias("n"), F.count("*").cast("double").alias("v")
+    )
+    q = ct.crossJoin(F.broadcast(g1)).select(
+        "token",
+        "n",
+        "v",
+        F.log((F.col("c_t") + a) / (F.col("n") + a * F.col("v"))).alias("ln_q"),
+    )
+    g2 = q.agg(F.sum("ln_q").alias("l_total"))
+    ns = cs.groupBy("source").agg(
+        F.sum("c").alias("n_s"), F.count("*").cast("double").alias("v_s")
+    )
+    d_s = F.col("n_s") + a * F.col("v")
+    p_st = (F.col("c") + a) / d_s
+    per_src = (
+        cs.join(q.select("token", "n", "v", "ln_q"), "token")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "n_s",
+            "v_s",
+            "v",
+            (p_st * (F.log(p_st) - F.col("ln_q"))).alias("term"),
+            "ln_q",
+        )
+        .groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_s"),
+            F.first("v_s").alias("v_s"),
+            F.first("v").alias("v"),
+            F.sum("term").alias("sum_present"),
+            F.sum("ln_q").alias("sum_ln_q_present"),
+        )
+    )
+    p0 = a / (F.col("n_s") + a * F.col("v"))
+    kl = F.col("sum_present") + p0 * (
+        (F.col("v") - F.col("v_s")) * F.log(p0)
+        - (F.col("l_total") - F.col("sum_ln_q_present"))
+    )
+    return per_src.crossJoin(F.broadcast(g2)).select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        F.col("v_s").cast("long").alias("vocab_seen"),
+        F.round(kl, 6).alias("kl_r"),
+    )

@@ -7176,3 +7176,49 @@ def hreflang_translation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     alts = hreflang_alternates(pages, html_col="html")
     return hreflang_clusters(alts)
+
+
+@query(
+    "source_divergence_audit",
+    """
+    WITH raw AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    t AS (SELECT * FROM raw WHERE token <> ''),
+    cs AS (SELECT source, token, count(*)::DOUBLE AS c
+           FROM t GROUP BY source, token),
+    ct AS (SELECT token, sum(c) AS c_t FROM cs GROUP BY token),
+    g AS (SELECT sum(c_t) AS n, count(*)::DOUBLE AS v FROM ct),
+    q AS (SELECT token,
+                 (c_t + 0.5) / (SELECT n + 0.5 * v FROM g) AS qp
+          FROM ct),
+    ns AS (SELECT source, sum(c) AS n_s, count(*)::DOUBLE AS v_s
+           FROM cs GROUP BY source),
+    grid AS (SELECT ns.source, ns.n_s, ns.v_s, q.token, q.qp
+             FROM ns, q),
+    kl AS (
+      SELECT g2.source, any_value(g2.n_s) AS n_s, any_value(g2.v_s) AS v_s,
+             sum(((coalesce(cs.c, 0) + 0.5)
+                   / (g2.n_s + 0.5 * (SELECT v FROM g)))
+                 * ln(((coalesce(cs.c, 0) + 0.5)
+                        / (g2.n_s + 0.5 * (SELECT v FROM g))) / g2.qp))
+               AS kl
+      FROM grid g2 LEFT JOIN cs
+        ON cs.source = g2.source AND cs.token = g2.token
+      GROUP BY g2.source)
+    SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(v_s AS BIGINT) AS vocab_seen, round(kl, 6) AS kl_r
+    FROM kl
+    """,
+)
+def source_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (operators/lm.source_unigram_divergence, add-0.5 smoothing over the
+    global vocabulary). The Spark side computes the scale-safe closed-form
+    decomposition (absent-token mass collapsed analytically); the oracle
+    computes the NAIVE source x vocabulary cross-join sum — their match
+    proves the decomposition identity, not just the arithmetic."""
+    from .operators.lm import source_unigram_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return source_unigram_divergence(d, alpha=0.5)
