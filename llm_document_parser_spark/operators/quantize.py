@@ -1,0 +1,107 @@
+"""Symmetric int8 embedding quantization — the storage/IO tier for
+billion-vector similarity search.
+
+At 10^9-10^12 documents the embedding column dominates storage and
+shuffle width: 64 float32 dims = 256 B/row, versus 64 int8 codes + one
+float scale = 68 B — a 3.8x cut that FAISS/ScaNN-style systems take
+before anything else (IVF cell probing works on the quantized codes;
+exact re-ranking dequantizes only the short candidate list). This module
+is that transform as pure column expressions — zero Python, zero
+shuffle, codegen end to end.
+
+Per-vector symmetric scheme:  scale = max(|v|) / 127,
+q_i = clamp(floor(v_i / scale + 0.5), -127, 127),  v̂_i = q_i * scale.
+
+``floor(x + 0.5)`` is used INSTEAD of round(): engines disagree on
+round-half-to-even vs half-away-from-zero, while floor is defined
+identically everywhere — so the int8 codes are EXACTLY reproducible
+cross-engine (the DuckDB oracle matches integer checksums with no
+rounding tolerance at all). A zero vector quantizes to all-zero codes
+with scale 0 (dequantizing to zeros, not NaN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def int8_scale(vec: Column) -> Column:
+    """max(|v|)/127 as double (0.0 for the all-zero vector)."""
+    return (
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / 127.0
+    )
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """ARRAY<INT> of int8 codes (kept as int for portable arithmetic)."""
+    return F.transform(
+        vec,
+        lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + 0.5).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    return F.transform(codes, lambda q: q.cast("double") * scale)
+
+
+def quantization_report(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector quantization fidelity: integer code checksums (exact
+    cross-engine — sum and L1 of the codes), the scale, reconstruction
+    MSE, and cosine(original, reconstructed). The decision inputs for
+    choosing a storage tier: cos ~0.999+ means the int8 tier is safe for
+    candidate generation."""
+    scale = int8_scale(F.col(vec_col))
+    out = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), scale.alias("scale")
+    ).select(
+        id_col,
+        "scale",
+        quantize_int8(F.col("v"), F.col("scale")).alias("q"),
+        "v",
+    )
+    vhat = dequantize(F.col("q"), F.col("scale"))
+    err2 = F.zip_with(
+        F.col("v"), vhat, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    dot_vv = F.aggregate(
+        F.transform(F.col("v"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot_hh = F.aggregate(
+        F.transform(vhat, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot_vh = F.aggregate(
+        F.zip_with(F.col("v"), vhat, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (dot_vv == 0.0) | (dot_hh == 0.0), F.lit(1.0)
+    ).otherwise(dot_vh / (F.sqrt(dot_vv) * F.sqrt(dot_hh)))
+    return out.select(
+        id_col,
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("q_sum"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.round("scale", 9).alias("scale_r"),
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col("v")),
+            9,
+        ).alias("mse_r"),
+        F.round(cos, 6).alias("cos_r"),
+    )

@@ -7222,3 +7222,57 @@ def source_divergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return source_unigram_divergence(d, alpha=0.5)
+
+
+@query(
+    "embedding_int8_report",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    s AS (SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale, embedding,
+            CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> CAST(greatest(-127,
+                     least(127, floor(CAST(x AS DOUBLE) / scale + 0.5)))
+                     AS INT))
+            END AS codes
+          FROM s),
+    r AS (SELECT vec_id, scale, codes,
+            list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE)) AS v,
+            list_transform(codes, c -> c * scale) AS vhat
+          FROM q),
+    m AS (SELECT vec_id, scale, codes,
+            list_sum(list_transform(range(1, len(v) + 1),
+              i -> (v[i] - vhat[i]) * (v[i] - vhat[i]))) AS sse,
+            len(v) AS dim,
+            list_sum(list_transform(v, x -> x * x)) AS dvv,
+            list_sum(list_transform(vhat, x -> x * x)) AS dhh,
+            list_sum(list_transform(range(1, len(v) + 1),
+              i -> v[i] * vhat[i])) AS dvh
+          FROM r)
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+             AS q_l1,
+           round(scale, 9) AS scale_r,
+           round(sse / dim, 9) AS mse_r,
+           round(CASE WHEN dvv = 0 OR dhh = 0 THEN 1.0
+                      ELSE dvh / (sqrt(dvv) * sqrt(dhh)) END, 6) AS cos_r
+    FROM m
+    """,
+)
+def embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization fidelity (operators/quantize.py) over
+    the first 300 embeddings: the int8 codes themselves are matched
+    EXACTLY cross-engine via integer checksums (sum + L1 — floor(x+0.5)
+    rounding is engine-invariant, unlike round()), alongside the scale,
+    reconstruction MSE and cosine fidelity. The storage-tier decision
+    table for billion-vector ANN."""
+    from .operators.quantize import quantization_report
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return quantization_report(e)

@@ -1,0 +1,77 @@
+"""int8 quantization tests (operators/quantize.py): NumPy round-trip
+parity, clamp saturation, the zero-vector guard, and the fidelity bound
+(max reconstruction error <= scale/2 per dimension by construction)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_document_parser_spark.operators.quantize import (
+    dequantize,
+    int8_scale,
+    quantization_report,
+    quantize_int8,
+)
+
+
+def np_quantize(v):
+    v = np.asarray(v, dtype=np.float64)
+    scale = np.abs(v).max() / 127.0
+    if scale == 0:
+        return np.zeros(len(v), dtype=int), 0.0
+    q = np.clip(np.floor(v / scale + 0.5), -127, 127).astype(int)
+    return q, scale
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_roundtrip_parity_and_error_bound(spark):
+    rng = np.random.RandomState(5)
+    vecs = [rng.randn(16) * s for s in (1.0, 0.01, 100.0)]
+    df = _df(spark, vecs)
+    scale = int8_scale(F.col("embedding"))
+    got = df.select(
+        "vec_id",
+        scale.alias("scale"),
+        quantize_int8(F.col("embedding"), scale).alias("q"),
+        dequantize(quantize_int8(F.col("embedding"), scale), scale).alias("vhat"),
+    ).collect()
+    for r in got:
+        v = vecs[r["vec_id"]]
+        q, s = np_quantize(v)
+        assert r["scale"] == pytest.approx(s, rel=1e-15)
+        assert list(r["q"]) == list(q)
+        # floor(x+0.5) quantization error is at most scale/2 per dim
+        # (the max-|v| dim hits 127 exactly, never clamped down)
+        assert np.max(np.abs(np.array(r["vhat"]) - v)) <= s / 2 + 1e-12
+
+
+def test_zero_vector_and_saturation(spark):
+    df = _df(spark, [[0.0] * 4, [1.0, -1.0, 0.5, -0.25]])
+    rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
+    z = rep[0]
+    assert z["q_sum"] == 0 and z["q_l1"] == 0 and z["scale_r"] == 0.0
+    assert z["mse_r"] == 0.0 and z["cos_r"] == 1.0
+    s = rep[1]
+    # max-|v| dims quantize to exactly +/-127
+    q, _ = np_quantize([1.0, -1.0, 0.5, -0.25])
+    assert list(q[:2]) == [127, -127]
+    assert s["q_l1"] == int(np.abs(q).sum())
+    assert s["cos_r"] > 0.999
+
+
+def test_report_fidelity_on_random_vectors(spark):
+    rng = np.random.RandomState(9)
+    df = _df(spark, rng.randn(20, 64))
+    rows = quantization_report(df).collect()
+    assert len(rows) == 20
+    # 64-dim gaussian vectors at int8: cosine fidelity is essentially 1
+    assert all(r["cos_r"] >= 0.9999 for r in rows)
+    assert all(0 < r["q_l1"] <= 127 * 64 for r in rows)
