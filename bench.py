@@ -537,6 +537,119 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
     )
 
+    # --- timed: trust propagation over a 1M-edge host graph ---
+    # TrustRank iterations price the per-iteration join+agg pair at real
+    # graph width: 1M weighted edges over 125k hosts (8 out-links each,
+    # deterministic wrap-around targets), 64 seed hosts, 3 iterations.
+    # Edges synthesize in-plan (spark.range, no dataset).
+    from llm_document_parser_spark.operators.labelprop import propagate_trust
+
+    def _trust_1m():
+        from pyspark.sql import functions as FF
+
+        edges = (
+            spark.range(1_000_000)
+            .select(
+                FF.concat(
+                    FF.lit("h"), FF.pmod("id", 125_000).cast("string")
+                ).alias("src_host"),
+                FF.concat(
+                    FF.lit("h"),
+                    FF.pmod(FF.col("id") * 31 + 7, 125_000).cast("string"),
+                ).alias("dst_host"),
+                (FF.pmod("id", 5) + 1).alias("n_links"),
+            )
+            .filter(FF.col("src_host") != FF.col("dst_host"))
+        )
+        seeds = spark.range(64).select(
+            FF.concat(FF.lit("h"), (FF.col("id") * 1951).cast("string")).alias(
+                "host"
+            ),
+            FF.lit(1.0).alias("seed"),
+        )
+        propagate_trust(edges, seeds, iterations=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    add_leg("trust_prop_1m_edges", _trust_1m)
+
+    # --- timed: distributed-GD logistic regression over the 50k corpus ---
+    # prices the production training loop: zero-shuffle HOF featurization
+    # (16 hashed-unigram rates) + 3 full-batch gradient passes, each one
+    # ungrouped tree-aggregate; the label is a deterministic text property
+    # (even extracted length) — the timing is label-independent
+    from llm_document_parser_spark.ml.lr_dataflow import (
+        hashed_token_features,
+        lr_fit_dataflow,
+    )
+
+    def _lr_50k():
+        feats = hashed_token_features(
+            docs50k,
+            id_col="url",
+            text_col="extracted_text",
+            label_col=(F.length("extracted_text") % 2 == 0),
+            n_buckets=16,
+        )
+        lr_fit_dataflow(feats, n_buckets=16, iterations=3, lr=1.0)
+
+    add_leg("lr_fit_50k_docs", _lr_50k)
+
+    # --- timed: Lloyd k-means + int8 quantization over 200k vectors ---
+    # vectors synthesize in-plan (16 dims of integer-arithmetic pseudo
+    # noise); kmeans prices assignment codegen (8 cells x 16 dims of
+    # literal arithmetic) + the k-row mean agg x2 iterations; the int8
+    # leg prices the full fidelity report (codes + MSE + cosine)
+    from llm_document_parser_spark.ml.kmeans_dataflow import kmeans_lloyd
+    from llm_document_parser_spark.operators.quantize import quantization_report
+
+    def _vecs_200k():
+        from pyspark.sql import functions as FF
+
+        return spark.range(200_000).select(
+            FF.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        FF.pmod(FF.col("id") * (17 + d) + d * d, 997).cast(
+                            "double"
+                        )
+                        / 997.0
+                        - 0.5
+                    )
+                    for d in range(16)
+                ]
+            ).alias("embedding"),
+        )
+
+    add_leg(
+        "kmeans_200k_vecs",
+        lambda: kmeans_lloyd(
+            _vecs_200k(), init_ids=list(range(8)), iterations=2
+        ),
+    )
+    add_leg(
+        "int8_quantize_200k",
+        lambda: quantization_report(_vecs_200k())
+        .write.format("noop").mode("overwrite").save(),
+    )
+
+    # --- timed: per-source KL divergence over the 50k corpus ---
+    # prices the closed-form decomposition at width: (source, token)
+    # aggregation, vocab derivation, the token-keyed join of aggregated
+    # counts, 20 synthetic sources from a url hash
+    from llm_document_parser_spark.operators.lm import source_unigram_divergence
+
+    add_leg(
+        "source_divergence_50k",
+        lambda: source_unigram_divergence(
+            docs50k.select(
+                F.pmod(F.xxhash64("url"), 20).cast("string").alias("source"),
+                F.col("extracted_text").alias("text"),
+            )
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # --- execute: two full passes over every leg, min reported ---
     query_runs: dict[str, list[float]] = {name: [] for name, _ in legs}
     for _trial in range(2):

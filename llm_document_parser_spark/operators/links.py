@@ -424,3 +424,83 @@ def link_spam_signals(edges: DataFrame) -> DataFrame:
             & (F.col("out_deg") >= 2)
         ).cast("int").alias("spam_flag"),
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted HITS (Kleinberg, JACM 1999) over (src_host, dst_host,
+    n_links): mutually reinforcing hub/authority scores — the directory
+    page that links to every good source is a HUB (PageRank undervalues
+    it: nothing links back); the canonical reference everyone cites is an
+    AUTHORITY. Crawl seeding wants hubs; quality priors want authorities;
+    PageRank alone surfaces neither distinction.
+
+    Semantics (mirrored exactly by queries._hits_oracle): every host
+    starts with hub = authority = 1; each synchronous iteration
+
+        auth'(v) = SUM over in-edges  u->v of n_links * hub(u)
+        hub'(u)  = SUM over out-edges u->v of n_links * auth'(v)
+
+    then BOTH vectors L1-normalize (divide by their sums — 1-row
+    broadcast aggregates; L1 keeps the algebra rational, unlike the
+    textbook L2). Fixed iteration budget, deterministic.
+
+    Plan per iteration: two edge equi-joins + two groupBys (host-keyed
+    shuffles AQE coalesces) + two 1-row normalizer cross joins; the same
+    localCheckpoint/unpersist lineage discipline as pagerank.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    edges = edges.select("src_host", "dst_host", "n_links")
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    state = nodes.select(
+        "host", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    state = state.localCheckpoint(eager=True)
+    last_ckpt = state
+    for i in range(iterations):
+        auth_raw = (
+            state.select(F.col("host").alias("src_host"), "hub")
+            .join(edges, "src_host")
+            .groupBy(F.col("dst_host").alias("host"))
+            .agg(F.sum(F.col("n_links") * F.col("hub")).alias("a_raw"))
+        )
+        a_full = nodes.join(auth_raw, "host", "left").select(
+            "host", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw")
+        )
+        a_norm = a_full.agg(F.sum("a_raw").alias("a_sum"))
+        a_full = a_full.crossJoin(F.broadcast(a_norm)).select(
+            "host",
+            F.when(F.col("a_sum") > 0, F.col("a_raw") / F.col("a_sum"))
+            .otherwise(0.0)
+            .alias("auth"),
+        )
+        hub_raw = (
+            a_full.select(F.col("host").alias("dst_host"), "auth")
+            .join(edges, "dst_host")
+            .groupBy(F.col("src_host").alias("host"))
+            .agg(F.sum(F.col("n_links") * F.col("auth")).alias("h_raw"))
+        )
+        h_full = nodes.join(hub_raw, "host", "left").select(
+            "host", F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw")
+        )
+        h_norm = h_full.agg(F.sum("h_raw").alias("h_sum"))
+        h_full = h_full.crossJoin(F.broadcast(h_norm)).select(
+            "host",
+            F.when(F.col("h_sum") > 0, F.col("h_raw") / F.col("h_sum"))
+            .otherwise(0.0)
+            .alias("hub"),
+        )
+        state = h_full.join(a_full, "host").select("host", "hub", "auth")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            state = state.localCheckpoint(eager=True)
+            last_ckpt.unpersist()
+            last_ckpt = state
+    return state

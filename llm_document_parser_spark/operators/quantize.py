@@ -105,3 +105,149 @@ def quantization_report(
         ).alias("mse_r"),
         F.round(cos, 6).alias("cos_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization — the sub-byte-per-dimension ANN storage tier
+# ---------------------------------------------------------------------------
+# int8 keeps one byte per dimension; PQ (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) goes further:
+# split each vector into m subvectors, train a small k-means codebook
+# per subspace, store only the m nearest-centroid ids — 64 dims at
+# m=8/k=16 is 8 half-byte codes (4 B/vector vs 256 B float32). This is
+# the composition tier: training reuses ml/kmeans_dataflow.kmeans_lloyd
+# per subspace (deterministic explicit seeding, driver-held codebooks),
+# encoding reuses its assign_cells algebra over SLICES — zero new
+# iteration machinery, and the whole encode path is codegen over
+# codebook literals (zero shuffle, zero Python).
+
+
+def pq_train(
+    corpus: "DataFrame",
+    m: int = 8,
+    init_ids: list[int] | None = None,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: ``m`` lists of k centroids (k =
+    len(init_ids)), subspace j trained on dimensions
+    [j*d/m, (j+1)*d/m) of every vector. One kmeans_lloyd run per
+    subspace over a sliced projection — m small driver-held models."""
+    from ..ml.kmeans_dataflow import kmeans_lloyd
+
+    if init_ids is None:
+        init_ids = [0, 1, 2, 3]
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_lloyd(
+                sliced, init_ids, iterations=iterations,
+                id_col=id_col, vec_col=vec_col,
+            )
+        )
+    return books
+
+
+def _pq_codes_col(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """ARRAY<INT> of per-subspace nearest-centroid ids (round-9 argmin,
+    lowest-id ties — assign_cells algebra inlined per subspace)."""
+    from ..ml.kmeans_dataflow import _dist2
+
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(_dist2(piece, c).alias("dist"), F.lit(i).alias("cell"))
+                for i, c in enumerate(book)
+            ]
+        )
+        code_cols.append(F.array_min(scored)["cell"])
+    return F.array(*code_cols)
+
+
+def pq_encode(
+    df: "DataFrame",
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """(id, codes) — pure column expressions over codebook literals,
+    zero shuffle, zero Python."""
+    return df.select(
+        F.col(id_col), _pq_codes_col(vec_col, codebooks).alias("codes")
+    )
+
+
+def pq_reconstruction_report(
+    df: "DataFrame",
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Per-vector PQ fidelity: (id, codes, mse_r, cos_r) against the
+    codebook reconstruction (concatenated nearest centroids) — the
+    decision table for choosing m/k, sibling of quantization_report.
+    Codes and reconstruction are computed INLINE in one projection (no
+    self-join): zero shuffle, zero Python."""
+    m = len(codebooks)
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in c])
+                            for c in codebooks[j]
+                        ]
+                    ),
+                    F.col("codes")[j] + 1,
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    d = df.select(
+        F.col(id_col),
+        _pq_codes_col(vec_col, codebooks).alias("codes"),
+        F.col(vec_col).alias("v"),
+    ).select(F.col(id_col), "codes", "v", recon.alias("vhat"))
+    err2 = F.zip_with(
+        F.col("v"), F.col("vhat"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dvv = F.aggregate(
+        F.transform(F.col("v"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dhh = F.aggregate(
+        F.transform(F.col("vhat"), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    dvh = F.aggregate(
+        F.zip_with(F.col("v"), F.col("vhat"), lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = F.when((dvv == 0.0) | (dhh == 0.0), F.lit(1.0)).otherwise(
+        dvh / (F.sqrt(dvv) * F.sqrt(dhh))
+    )
+    return d.select(
+        id_col,
+        "codes",
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col("v")),
+            9,
+        ).alias("mse_r"),
+        F.round(cos, 6).alias("cos_r"),
+    )

@@ -76,22 +76,70 @@ def winnow_from_grams(hs: Column, w: int = 4) -> Column:
     single global minimum — the standard short-document degeneration;
     gram-less documents select nothing.
 
+    Sliding minima are computed by SPARSE-TABLE DOUBLING, not by slicing
+    each window: ``m_s[i] = min(hs[i..i+2^s-1])`` builds in log2(w)
+    ``zip_with(..., least)`` passes over shifted copies, and the final
+    window-w row combines ``m_p[i]`` with ``m_p[i + w - 2^p]`` (windows
+    overlap; min is idempotent, so overlap is harmless). Total work is
+    O(n log w) unboxed comparisons in codegen with ONE array allocation
+    per pass — the naive per-window ``slice + array_min`` form is
+    O(n·w) with a w-element allocation per window, measured 693 s for
+    50k pages at w=9 versus ~25 s for this form (same output,
+    tests/test_winnow.py replay parity unchanged).
+
     ``hs`` MUST be a real column (a prior projection), not the inline
-    ``gram_hashes`` expression: the window ``transform`` lambda slices
-    ``hs`` once per window, and Catalyst does not common-subexpression-
+    ``gram_hashes`` expression: Catalyst does not common-subexpression-
     eliminate inside higher-order-function lambdas — an inline gram
-    expression would be RECOMPUTED per window, turning the O(n·w) scan
-    into O(n²) md5 work (measured: a 3 KB document never finishes).
-    ``winnow_fingerprints`` stages the projections correctly.
+    expression would be RECOMPUTED per pass. ``winnow_fingerprints``
+    stages the projections correctly.
+
+    Implementation notes pinned by tests: ``zip_with`` pads the shorter
+    side with nulls and ``least`` skips nulls, so every pass SLICES its
+    result back to the strict length ``g - shift`` — without that, the
+    tail positions would carry truncated-window minima into later
+    passes. ``least`` on md5 hex strings is lexicographic == hash order
+    (the documented md5 mode contract); on xxhash64 longs it is integer
+    order (fast mode).
     """
     g = F.size(hs)
-    win_idx = F.when(
-        g > 0, F.sequence(F.lit(1), F.greatest(g - (w - 1), F.lit(1)))
-    ).otherwise(F.array().cast("array<int>"))
-    # slice clamps at the array end, so the G < w degenerate window is the
-    # whole sequence — no special case needed beyond win upper bound 1
+    # m = strict sliding minima over windows of span 2^s (length
+    # g - span + 1); build up to the largest power of two <= w. Every
+    # slice length is clamped to >= 0 because when() evaluates BOTH
+    # branches for every row — a short document must not feed a negative
+    # slice length even though its value comes from the degenerate branch.
+    p = 0
+    while (1 << (p + 1)) <= w:
+        p += 1
+    m = hs
+    span = 1  # current strict window span
+    for _ in range(p):
+        new_span = span * 2
+        shifted = F.slice(m, span + 1, F.greatest(g - span, F.lit(0)))
+        m = F.slice(
+            F.zip_with(m, shifted, lambda a, b: F.least(a, b)),
+            1,
+            F.greatest(g - new_span + 1, F.lit(0)),
+        )
+        span = new_span
+    if w > span:
+        # final combine: window w = min(m[i], m[i + w - span]); the two
+        # span-w windows overlap (w - span < span), min is idempotent
+        off = w - span
+        m = F.slice(
+            F.zip_with(
+                m,
+                F.slice(m, off + 1, F.greatest(g - span - off + 1, F.lit(0))),
+                lambda a, b: F.least(a, b),
+            ),
+            1,
+            F.greatest(g - w + 1, F.lit(0)),
+        )
+    full = m  # strict windows: length g - w + 1 (empty when g < w)
+    # degenerate cases keep the element type via slice-to-empty
     return F.array_distinct(
-        F.transform(win_idx, lambda i: F.array_min(F.slice(hs, i, w)))
+        F.when(g >= w, full)
+        .when(g > 0, F.array(F.array_min(hs)))
+        .otherwise(F.slice(hs, 1, 0))
     )
 
 
@@ -142,15 +190,21 @@ def winnow_overlap_pairs(
     not overlap evidence — the same reasoning as frequent-line removal).
     """
     fps = winnow_fingerprints(df, id_col, text_col, k, w, hash_fn)
-    # Materialize the exploded fingerprint table ONCE: it feeds the hot-
-    # fingerprint count AND both sides of the pair self-join — without the
-    # lineage cut the whole gram+window computation re-runs three times
-    # (the bpe_train lesson: measured 10× on 50k pages). At corpus scale,
-    # persist this table bucketed by fp instead (storage.write_bucketed)
-    # and the pair join is exchange-free on reuse.
-    ex = fps.select(
+    # Materialize the fingerprint ARRAYS before exploding, for two
+    # reasons. (1) The explode's Generate node evaluates its child with
+    # NO subexpression elimination, so the zip_with doubling chain (which
+    # references each pass twice) re-evaluates exponentially under it —
+    # measured 140 s for the explode vs 5.5 s for the identical
+    # computation in a projection on 50k pages; materializing first makes
+    # the explode read stored arrays. (2) The exploded table feeds the
+    # hot-fingerprint count AND both sides of the pair self-join — the
+    # lineage cut keeps the gram+window computation from running three
+    # times (the bpe_train lesson). At corpus scale, persist the exploded
+    # table bucketed by fp instead (storage.write_bucketed) and the pair
+    # join is exchange-free on reuse.
+    ex = fps.localCheckpoint(eager=True).select(
         "id", F.explode("fingerprints").alias("fp")
-    ).localCheckpoint(eager=False)
+    )
     if max_df is not None:
         hot = (
             ex.groupBy("fp")

@@ -7276,3 +7276,234 @@ def embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return quantization_report(e)
+
+
+def _logbin_sql(expr: str, n_bins: int = 40) -> str:
+    """Integer-comparison floor(log2(expr+1)) — the same
+    never-use-float-log discipline as operators/stats.logbin_of."""
+    return "(" + " + ".join(
+        f"CAST(({expr} + 1 >= {2 ** k}) AS INT)" for k in range(1, n_bins)
+    ) + ")"
+
+
+@query(
+    "logbin_length_quantiles",
+    f"""
+    WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+    b AS (SELECT source, v, {_logbin_sql("v")} AS bin FROM v),
+    h AS (SELECT source, bin, count(*)::BIGINT AS cnt,
+                 min(v) AS mn, max(v) AS mx
+          FROM b GROUP BY source, bin),
+    r AS (SELECT source, bin, cnt, mn, mx,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(cnt) OVER (PARTITION BY source ORDER BY bin) - cnt
+                   AS cum_before,
+                 sum(cnt) OVER (PARTITION BY source) AS n,
+                 max(mx) OVER (PARTITION BY source) AS gmax
+          FROM h)
+    SELECT source AS "group",
+           CAST(any_value(n) AS BIGINT) AS n_values,
+           any_value(gmax) AS max_value,
+           round(min(CASE WHEN cum >= 0.5 * n AND cum_before < 0.5 * n
+             THEN mn + (mx - mn) * (0.5 * n - cum_before) / cnt END), 4)
+             AS q50,
+           round(min(CASE WHEN cum >= 0.95 * n AND cum_before < 0.95 * n
+             THEN mn + (mx - mn) * (0.95 * n - cum_before) / cnt END), 4)
+             AS q95,
+           round(min(CASE WHEN cum >= 0.99 * n AND cum_before < 0.99 * n
+             THEN mn + (mx - mn) * (0.99 * n - cum_before) / cnt END), 4)
+             AS q99
+    FROM r GROUP BY source
+    """,
+)
+def logbin_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile histograms (operators/stats.py): per-source
+    p50/p95/p99 of document length estimated from power-of-two log bins
+    with within-bin min-max interpolation — the bounded-state
+    incremental alternative to exact percentiles (doc_length_quantiles
+    is the exact-sort twin; this one merges across daily batches like
+    source_stats). Bin indices come from integer comparisons, never
+    float log — ln boundaries round differently across engines."""
+    from .operators.stats import histogram_quantiles, value_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    hist = value_histogram(d, "source", "n_chars")
+    return histogram_quantiles(hist, ps=(0.5, 0.95, 0.99))
+
+
+def _hits_oracle(edges_cte: str, iters: int) -> str:
+    """Unrolled-CTE DuckDB mirror of links.hits_scores (weighted
+    synchronous HITS, L1 normalization, zero-sum guard)."""
+    parts = [
+        f"WITH {edges_cte},",
+        "nodes AS (SELECT DISTINCT host FROM (SELECT src_host AS host"
+        " FROM edges UNION ALL SELECT dst_host FROM edges)),",
+        "s0 AS (SELECT host, 1.0 AS hub, 1.0 AS auth FROM nodes),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"ar{i} AS (SELECT n.host, coalesce(x.a, 0.0) AS a_raw"
+            " FROM nodes n LEFT JOIN (SELECT e.dst_host AS host,"
+            " sum(e.n_links * s.hub) AS a"
+            f" FROM s{i} s JOIN edges e ON s.host = e.src_host"
+            " GROUP BY e.dst_host) x ON n.host = x.host),"
+        )
+        parts.append(
+            f"an{i} AS (SELECT host, CASE WHEN (SELECT sum(a_raw)"
+            f" FROM ar{i}) > 0 THEN a_raw / (SELECT sum(a_raw) FROM ar{i})"
+            f" ELSE 0.0 END AS auth FROM ar{i}),"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT n.host, coalesce(x.h, 0.0) AS h_raw"
+            " FROM nodes n LEFT JOIN (SELECT e.src_host AS host,"
+            " sum(e.n_links * a.auth) AS h"
+            f" FROM an{i} a JOIN edges e ON a.host = e.dst_host"
+            " GROUP BY e.src_host) x ON n.host = x.host),"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT h.host,"
+            f" CASE WHEN (SELECT sum(h_raw) FROM hr{i}) > 0"
+            f" THEN h.h_raw / (SELECT sum(h_raw) FROM hr{i}) ELSE 0.0 END"
+            f" AS hub, a.auth FROM hr{i} h"
+            f" JOIN an{i} a ON h.host = a.host),"
+        )
+    parts.append(
+        f"final AS (SELECT host, hub, auth FROM s{iters})"
+        " SELECT host, round(hub, 7) AS hub_r, round(auth, 7) AS auth_r"
+        " FROM final"
+    )
+    return "\n".join(parts)
+
+
+@query("host_hits_scores", None)  # oracle attached below (generated)
+def host_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS hub/authority scores (operators/links.py) on the
+    SAME deterministic host graph as host_pagerank and
+    host_trust_propagation — three link-analysis algorithms pinned to
+    one input. 3 synchronous iterations, L1 normalization; matched to 7
+    decimals against the unrolled-CTE oracle. Pure-sink hosts (h12/h13)
+    must end with hub 0; pure sources with auth 0."""
+    from .operators.links import hits_scores
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    src = F.concat(F.lit("h"), (did % 12).cast("string"))
+    dst = F.concat(F.lit("h"), ((did * 5 + 3) % 14).cast("string"))
+    edges = (
+        d.select(src.alias("src_host"), dst.alias("dst_host"), did)
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum(F.col("doc_id") % 3 + 1).alias("n_links"))
+    )
+    s = hits_scores(edges, iterations=3)
+    return s.select(
+        "host", F.round("hub", 7).alias("hub_r"), F.round("auth", 7).alias("auth_r")
+    )
+
+
+ORACLES["host_hits_scores"] = _hits_oracle(_PR_EDGES_CTE, 3)
+
+
+def _pq_codes_oracle(
+    n_vecs: int, dim: int, m: int, init_ids: list[int], iters: int
+) -> str:
+    """DuckDB mirror of quantize.pq_train + pq_encode: per subspace the
+    _kmeans_oracle CTE chain (seed init, round-9 argmin, empty-cell
+    retention) runs over that subspace's dim slice, then every vector is
+    assigned its nearest trained centroid — the outputs are INTEGER
+    codes, matched with zero tolerance."""
+    sub = dim // m
+    seeds = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {vid} AS vid" for c, vid in enumerate(init_ids)
+    )
+    parts = [
+        f"WITH e AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {n_vecs}),",
+        f"v AS (SELECT vec_id, range AS dim,"
+        f" CAST(embedding[range] AS DOUBLE) AS val"
+        f" FROM e, range(1, {dim + 1})),",
+        f"seedmap AS ({seeds}),",
+    ]
+    selects = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"v{j} AS (SELECT * FROM v WHERE dim BETWEEN {lo} AND {hi}),"
+        )
+        parts.append(
+            f"c0_{j} AS (SELECT s.cell, v.dim, v.val AS w FROM seedmap s"
+            f" JOIN v{j} v ON v.vec_id = s.vid),"
+        )
+        for i in range(iters):
+            parts.append(
+                f"d{i}_{j} AS (SELECT v.vec_id, c.cell,"
+                " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+                f" FROM v{j} v JOIN c{i}_{j} c ON v.dim = c.dim"
+                " GROUP BY v.vec_id, c.cell),"
+            )
+            parts.append(
+                f"a{i}_{j} AS (SELECT vec_id, cell FROM ("
+                f"  SELECT vec_id, cell, row_number() OVER ("
+                "     PARTITION BY vec_id ORDER BY dist, cell) AS r"
+                f"  FROM d{i}_{j}) WHERE r = 1),"
+            )
+            parts.append(
+                f"n{i}_{j} AS (SELECT a.cell, v.dim, avg(v.val) AS w"
+                f" FROM a{i}_{j} a JOIN v{j} v ON v.vec_id = a.vec_id"
+                " GROUP BY a.cell, v.dim),"
+            )
+            parts.append(
+                f"c{i + 1}_{j} AS (SELECT c.cell, c.dim,"
+                f" coalesce(n.w, c.w) AS w FROM c{i}_{j} c"
+                f" LEFT JOIN n{i}_{j} n"
+                " ON c.cell = n.cell AND c.dim = n.dim),"
+            )
+        parts.append(
+            f"df_{j} AS (SELECT v.vec_id, c.cell,"
+            " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+            f" FROM v{j} v JOIN c{iters}_{j} c ON v.dim = c.dim"
+            " GROUP BY v.vec_id, c.cell),"
+        )
+        parts.append(
+            f"code_{j} AS (SELECT vec_id, {j} AS subspace, cell AS code"
+            f" FROM (SELECT vec_id, cell, row_number() OVER ("
+            " PARTITION BY vec_id ORDER BY dist, cell) AS r"
+            f" FROM df_{j}) WHERE r = 1),"
+        )
+        selects.append(f"SELECT * FROM code_{j}")
+    parts.append("final AS (" + " UNION ALL ".join(selects) + ")")
+    parts.append(
+        "SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,"
+        " CAST(code AS BIGINT) AS code FROM final"
+    )
+    return "\n".join(parts)
+
+
+_PQ_INIT_IDS = [0, 7, 19]
+
+
+@query("pq_vector_codes", None)  # oracle attached below (generated)
+def pq_vector_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/quantize.pq_train +
+    pq_encode, Jégou TPAMI'11): 64-dim embeddings split into 4
+    subspaces, a 3-centroid Lloyd codebook trained per subspace (2
+    iterations, explicit seeds — kmeans_dataflow composed over slices),
+    every vector stored as 4 small integers. The oracle re-trains all
+    four codebooks and re-assigns every vector in SQL; codes match with
+    ZERO tolerance. 256 B/vector float32 → 4 codes: the ANN storage
+    tier beyond int8."""
+    from .operators.quantize import pq_encode, pq_train
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
+    codes = pq_encode(e, books)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+ORACLES["pq_vector_codes"] = _pq_codes_oracle(300, 64, 4, _PQ_INIT_IDS, 2)

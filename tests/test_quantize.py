@@ -75,3 +75,65 @@ def test_report_fidelity_on_random_vectors(spark):
     # 64-dim gaussian vectors at int8: cosine fidelity is essentially 1
     assert all(r["cos_r"] >= 0.9999 for r in rows)
     assert all(0 < r["q_l1"] <= 127 * 64 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (composition of kmeans_dataflow over subspaces)
+# ---------------------------------------------------------------------------
+
+def np_pq_train_encode(X, m, init_ids, iters):
+    sub = X.shape[1] // m
+    books, codes = [], []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        cents = S[list(init_ids)].astype(float).copy()
+        for _ in range(iters):
+            d = np.round(
+                ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9
+            )
+            a = d.argmin(axis=1)
+            for c in range(len(cents)):
+                mem = S[a == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books.append(cents)
+        d = np.round(((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 9)
+        codes.append(d.argmin(axis=1))
+    return books, np.stack(codes, axis=1)
+
+
+def test_pq_roundtrip_parity(spark):
+    from llm_document_parser_spark.operators.quantize import (
+        pq_encode,
+        pq_reconstruction_report,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(21)
+    X = rng.randn(40, 8)
+    df = _df(spark, X)
+    books = pq_train(df, m=4, init_ids=[0, 1, 2], iterations=2)
+    want_books, want_codes = np_pq_train_encode(X, 4, [0, 1, 2], 2)
+    assert np.allclose(np.array(books), np.array(want_books), atol=1e-12)
+    got_codes = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()
+    }
+    for i in range(40):
+        assert got_codes[i] == list(want_codes[i]), i
+    rep = {r["vec_id"]: r for r in pq_reconstruction_report(df, books).collect()}
+    for i in range(40):
+        recon = np.concatenate(
+            [want_books[j][want_codes[i, j]] for j in range(4)]
+        )
+        mse = float(((X[i] - recon) ** 2).mean())
+        assert rep[i]["mse_r"] == pytest.approx(mse, abs=1e-6)
+        # PQ reconstruction must beat a random codeword almost surely
+        assert rep[i]["cos_r"] > 0.0
+
+
+def test_pq_dim_mismatch_raises(spark):
+    from llm_document_parser_spark.operators.quantize import pq_train
+
+    df = _df(spark, np.ones((5, 6)))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4, init_ids=[0, 1])
