@@ -7333,39 +7333,58 @@ def logbin_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hits_oracle(edges_cte: str, iters: int) -> str:
     """Unrolled-CTE DuckDB mirror of links.hits_scores (weighted
-    synchronous HITS, L1 normalization, zero-sum guard)."""
+    synchronous HITS, L1 normalization, zero-sum guard).
+
+    Every iteration CTE is ``AS MATERIALIZED`` and the normalizer sums
+    are 1-row CTEs cross-joined in: DuckDB inlines plain CTEs, so a
+    chain whose stages are referenced 2-3 times each re-plans the whole
+    upstream per reference — exponential in the iteration count
+    (measured: the inline-CTE form of this oracle never finished at 3
+    iterations; materialized it runs in milliseconds)."""
     parts = [
         f"WITH {edges_cte},",
-        "nodes AS (SELECT DISTINCT host FROM (SELECT src_host AS host"
+        "nodes AS MATERIALIZED (SELECT DISTINCT host FROM ("
+        "SELECT src_host AS host"
         " FROM edges UNION ALL SELECT dst_host FROM edges)),",
-        "s0 AS (SELECT host, 1.0 AS hub, 1.0 AS auth FROM nodes),",
+        "s0 AS MATERIALIZED (SELECT host, 1.0 AS hub, 1.0 AS auth"
+        " FROM nodes),",
     ]
     for i in range(iters):
         parts.append(
-            f"ar{i} AS (SELECT n.host, coalesce(x.a, 0.0) AS a_raw"
+            f"ar{i} AS MATERIALIZED (SELECT n.host,"
+            " coalesce(x.a, 0.0) AS a_raw"
             " FROM nodes n LEFT JOIN (SELECT e.dst_host AS host,"
             " sum(e.n_links * s.hub) AS a"
             f" FROM s{i} s JOIN edges e ON s.host = e.src_host"
             " GROUP BY e.dst_host) x ON n.host = x.host),"
         )
         parts.append(
-            f"an{i} AS (SELECT host, CASE WHEN (SELECT sum(a_raw)"
-            f" FROM ar{i}) > 0 THEN a_raw / (SELECT sum(a_raw) FROM ar{i})"
-            f" ELSE 0.0 END AS auth FROM ar{i}),"
+            f"asum{i} AS MATERIALIZED (SELECT sum(a_raw) AS s"
+            f" FROM ar{i}),"
         )
         parts.append(
-            f"hr{i} AS (SELECT n.host, coalesce(x.h, 0.0) AS h_raw"
+            f"an{i} AS MATERIALIZED (SELECT host, CASE WHEN g.s > 0"
+            " THEN a_raw / g.s ELSE 0.0 END AS auth"
+            f" FROM ar{i}, asum{i} g),"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.host,"
+            " coalesce(x.h, 0.0) AS h_raw"
             " FROM nodes n LEFT JOIN (SELECT e.src_host AS host,"
             " sum(e.n_links * a.auth) AS h"
             f" FROM an{i} a JOIN edges e ON a.host = e.dst_host"
             " GROUP BY e.src_host) x ON n.host = x.host),"
         )
         parts.append(
-            f"s{i + 1} AS (SELECT h.host,"
-            f" CASE WHEN (SELECT sum(h_raw) FROM hr{i}) > 0"
-            f" THEN h.h_raw / (SELECT sum(h_raw) FROM hr{i}) ELSE 0.0 END"
+            f"hsum{i} AS MATERIALIZED (SELECT sum(h_raw) AS s"
+            f" FROM hr{i}),"
+        )
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT h.host,"
+            " CASE WHEN g.s > 0 THEN h.h_raw / g.s ELSE 0.0 END"
             f" AS hub, a.auth FROM hr{i} h"
-            f" JOIN an{i} a ON h.host = a.host),"
+            f" JOIN an{i} a ON h.host = a.host"
+            f" CROSS JOIN hsum{i} g),"
         )
     parts.append(
         f"final AS (SELECT host, hub, auth FROM s{iters})"

@@ -30,7 +30,7 @@ def _df(spark, values, group="g"):
 
 def test_bin_boundaries_exact(spark):
     cases = [(-5, 0), (0, 0), (1, 1), (2, 1), (3, 2), (7, 3), (8, 3),
-             (15, 4), (2**20 - 1, 20), (2**20, 20), (2**20 + 1, 21)]
+             (15, 4), (2**20 - 1, 20), (2**20, 20), (2**21 - 1, 21)]
     # bin(v) = floor(log2(v+1)) for v >= 0: v+1 in [2^k, 2^(k+1)) -> k
     df = spark.createDataFrame([(v,) for v, _ in cases], "v long")
     got = [

@@ -43,9 +43,12 @@ def test_quantization_report_is_pure_codegen(spark):
 
 
 def test_value_histogram_single_aggregation_exchange(spark):
+    import re
+
     df = spark.createDataFrame([("s", 5)], "src string, v long")
     plan = _plan(value_histogram(df, "src", "v"))
-    # one partial+final hash aggregate pair around exactly one Exchange,
-    # no Python anywhere: the monoid build is one combining shuffle
-    assert plan.count("Exchange") == 1, plan
+    # one partial+final hash aggregate pair around exactly one Exchange
+    # node (formatted mode lists each node twice: tree + detail), no
+    # Python anywhere: the monoid build is one combining shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
