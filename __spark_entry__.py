@@ -201,6 +201,24 @@ _DEMOTED = (
     "jaccard_similarity_pairs",
     "embedding_near_dups",
     "distinct_parts_per_flag",
+    # ...and to 142 (host_trust_propagation, lr_langid_fit,
+    # margin_bitext_pairs, kmeans_cell_centroids, unimax_lang_budget,
+    # hreflang_translation_clusters, source_divergence_audit,
+    # embedding_int8_report, logbin_length_quantiles, host_hits_scores,
+    # pq_vector_codes — new this session, stay in the window); eleven
+    # more round-4-attested rows with standing pytest + CHECK_FULL
+    # coverage yield their slots
+    "user_activity_rollup",
+    "dsir_importance_sample",
+    "decontaminate_docs_bloom",
+    "packed_sequences",
+    "greedy_pack_bins",
+    "ccnet_perplexity_buckets",
+    "doc_token_chunks",
+    "domain_temperature_mix",
+    "content_block_extract",
+    "dup_span_removal",
+    "cluster_keep_best",
 )
 
 
