@@ -219,6 +219,7 @@ _DEMOTED = (
     "content_block_extract",
     "dup_span_removal",
     "cluster_keep_best",
+    "bm25_relevance",  # yields its slot to pq_adc_neighbors (same session)
 )
 
 

@@ -7526,3 +7526,128 @@ def pq_vector_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pq_vector_codes"] = _pq_codes_oracle(300, 64, 4, _PQ_INIT_IDS, 2)
+
+
+def _pq_adc_oracle(
+    n_vecs: int, dim: int, m: int, init_ids: list[int], iters: int,
+    n_queries: int, k: int,
+) -> str:
+    """DuckDB mirror of quantize.pq_adc_topk over codebooks trained by
+    the _pq_codes_oracle chain: re-train per-subspace codebooks, re-code
+    the corpus, build each query's subvector-to-centroid distance table,
+    score every coded vector by m table lookups, rank. All iteration
+    CTEs MATERIALIZED (the HITS-oracle lesson: multiply-referenced plain
+    CTEs re-plan exponentially under DuckDB inlining)."""
+    sub = dim // m
+    seeds = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {vid} AS vid" for c, vid in enumerate(init_ids)
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {n_vecs}),",
+        f"v AS MATERIALIZED (SELECT vec_id, range AS dim,"
+        f" CAST(embedding[range] AS DOUBLE) AS val"
+        f" FROM e, range(1, {dim + 1})),",
+        f"seedmap AS ({seeds}),",
+    ]
+    code_sel, dtab_sel = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"v{j} AS MATERIALIZED (SELECT * FROM v"
+            f" WHERE dim BETWEEN {lo} AND {hi}),"
+        )
+        parts.append(
+            f"c0_{j} AS MATERIALIZED (SELECT s.cell, v.dim, v.val AS w"
+            f" FROM seedmap s JOIN v{j} v ON v.vec_id = s.vid),"
+        )
+        for i in range(iters):
+            parts.append(
+                f"d{i}_{j} AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+                " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+                f" FROM v{j} v JOIN c{i}_{j} c ON v.dim = c.dim"
+                " GROUP BY v.vec_id, c.cell),"
+            )
+            parts.append(
+                f"a{i}_{j} AS MATERIALIZED (SELECT vec_id, cell FROM ("
+                f"  SELECT vec_id, cell, row_number() OVER ("
+                "     PARTITION BY vec_id ORDER BY dist, cell) AS r"
+                f"  FROM d{i}_{j}) WHERE r = 1),"
+            )
+            parts.append(
+                f"n{i}_{j} AS MATERIALIZED (SELECT a.cell, v.dim,"
+                f" avg(v.val) AS w FROM a{i}_{j} a"
+                f" JOIN v{j} v ON v.vec_id = a.vec_id"
+                " GROUP BY a.cell, v.dim),"
+            )
+            parts.append(
+                f"c{i + 1}_{j} AS MATERIALIZED (SELECT c.cell, c.dim,"
+                f" coalesce(n.w, c.w) AS w FROM c{i}_{j} c"
+                f" LEFT JOIN n{i}_{j} n"
+                " ON c.cell = n.cell AND c.dim = n.dim),"
+            )
+        parts.append(
+            f"df_{j} AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+            " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+            f" FROM v{j} v JOIN c{iters}_{j} c ON v.dim = c.dim"
+            " GROUP BY v.vec_id, c.cell),"
+        )
+        parts.append(
+            f"code_{j} AS MATERIALIZED (SELECT vec_id, {j} AS subspace,"
+            f" cell AS code FROM (SELECT vec_id, cell, row_number() OVER ("
+            " PARTITION BY vec_id ORDER BY dist, cell) AS r"
+            f" FROM df_{j}) WHERE r = 1),"
+        )
+        parts.append(
+            f"dtab_{j} AS MATERIALIZED (SELECT q.vec_id AS query_id,"
+            f" {j} AS subspace, c.cell,"
+            " sum((q.val - c.w) * (q.val - c.w)) AS d"
+            f" FROM (SELECT * FROM v{j} WHERE vec_id < {n_queries}) q"
+            f" JOIN c{iters}_{j} c ON q.dim = c.dim"
+            " GROUP BY q.vec_id, c.cell),"
+        )
+        code_sel.append(f"SELECT * FROM code_{j}")
+        dtab_sel.append(f"SELECT * FROM dtab_{j}")
+    parts.append(
+        "codes AS MATERIALIZED (" + " UNION ALL ".join(code_sel) + "),"
+    )
+    parts.append(
+        "dtab AS MATERIALIZED (" + " UNION ALL ".join(dtab_sel) + "),"
+    )
+    parts.append(
+        "score AS MATERIALIZED (SELECT t.query_id, cd.vec_id AS neighbor_id,"
+        " round(sum(t.d), 6) AS adc_dist"
+        " FROM codes cd JOIN dtab t"
+        " ON t.subspace = cd.subspace AND t.cell = cd.code"
+        " WHERE t.query_id <> cd.vec_id"
+        " GROUP BY t.query_id, cd.vec_id),"
+    )
+    parts.append(
+        "ranked AS (SELECT query_id, neighbor_id, adc_dist,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) AS rnk FROM score)"
+        f" SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,"
+        f" adc_dist FROM ranked WHERE rnk <= {k}"
+    )
+    return "\n".join(parts)
+
+
+@query("pq_adc_neighbors", None)  # oracle attached below (generated)
+def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/quantize.pq_adc_topk):
+    5 full-precision queries against 300 PQ-coded vectors (the SAME
+    4-subspace/3-centroid codebooks as pq_vector_codes — the two entries
+    share training so they can never drift), each query scoring corpus
+    rows by m distance-table lookups without ever reading corpus floats.
+    The oracle re-trains, re-codes, rebuilds the distance tables and
+    re-ranks entirely in SQL."""
+    from .operators.quantize import pq_adc_topk, pq_encode, pq_train
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
+    codes = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(q, codes, books, k=5)
+
+
+ORACLES["pq_adc_neighbors"] = _pq_adc_oracle(300, 64, 4, _PQ_INIT_IDS, 2, 5, 5)

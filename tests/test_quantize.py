@@ -137,3 +137,57 @@ def test_pq_dim_mismatch_raises(spark):
     df = _df(spark, np.ones((5, 6)))
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=4, init_ids=[0, 1])
+
+
+def test_pq_adc_topk_parity_and_recall(spark):
+    from llm_document_parser_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(33)
+    base = rng.randn(30, 8)
+    # plant near-twins: vector 30+i is a lightly-noised copy of vector i,
+    # so exact top-1 for query i is KNOWN and ADC should retrieve it
+    X = np.vstack([base, base + 0.05 * rng.randn(30, 8)])
+    df = _df(spark, X)
+    books = pq_train(df, m=4, init_ids=[0, 1, 2, 3], iterations=2)
+    codes = pq_encode(df, books)
+    q = _df(spark, X[:3])
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in pq_adc_topk(q, codes, books, k=4).collect()
+    ]
+    # NumPy replay: ADC dist = sum over subspaces of ||q_j - book_j[code]||^2
+    B, C = np_pq_train_encode(X, 4, [0, 1, 2, 3], 2)
+    import itertools
+
+    want = []
+    for qi in range(3):
+        ds = []
+        for ni in range(60):
+            if ni == qi:
+                continue
+            d = sum(
+                float(((X[qi, 2 * j:2 * j + 2] - B[j][C[ni, j]]) ** 2).sum())
+                for j in range(4)
+            )
+            ds.append((round(d, 6), ni))
+        ds.sort()
+        for rank, (d, ni) in enumerate(ds[:4], 1):
+            want.append((qi, ni, rank, d))
+    assert sorted(got) == sorted(
+        (a, b, c, pytest.approx(d, abs=2e-6)) for a, b, c, d in want
+    )
+    # sanity: ADC top-4 should usually contain the true exact-L2 top-1
+    hits = 0
+    for qi in range(3):
+        exact = min(
+            (float(((X[qi] - X[ni]) ** 2).sum()), ni)
+            for ni in range(60)
+            if ni != qi
+        )[1]
+        if exact in [ni for (qq, ni, _, _) in want if qq == qi]:
+            hits += 1
+    assert hits >= 2
