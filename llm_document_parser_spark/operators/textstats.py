@@ -476,3 +476,76 @@ def oov_rate_by_group(
             F.max(F.col("n_oov").cast("double") / F.col("n_toks")), 6
         ).alias("max_doc_oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability — grade-level scoring for curriculum ordering
+# ---------------------------------------------------------------------------
+# Curriculum-ordered pretraining and kids/simple-English corpus carving
+# (e.g. deduped simple.wikipedia tiers) need a cheap monotone difficulty
+# signal. Flesch Reading Ease / Flesch-Kincaid grade are the standard
+# heuristics; the only non-trivial input is the syllable count, which
+# this engine approximates the classic way: count VOWEL GROUPS (maximal
+# runs of [aeiouy]) per word, minus a trailing silent-e correction, min
+# 1 per word. That is the same approximation every readability library
+# ships; it is deterministic and expressible natively on both engines
+# (regexp_extract_all on Spark / regexp_extract_all on DuckDB), so the
+# score is oracle-checkable to the decimal — no Python anywhere.
+
+
+def word_syllables(word: Column) -> Column:
+    """Approximate syllables of one lowercased word: vowel-group count
+    ([aeiouy]+ runs), minus one for a silent-e ending (consonant + final
+    'e' with an earlier vowel group), floored at 1 — every word speaks at
+    least one syllable, including all-consonant/digit tokens."""
+    groups = F.size(F.regexp_extract_all(word, F.lit("[aeiouy]+"), 0))
+    silent_e = word.rlike("[aeiouy][a-z]*[bcdfghjkmnpqrstvwxz]e$").cast("int")
+    return F.greatest(groups - silent_e, F.lit(1))
+
+
+def syllable_count(text: Column) -> Column:
+    """Total approximate syllables: per-word vowel-group counting with
+    the silent-e correction and the 1-per-word floor, summed by one HOF
+    fold over the whitespace tokens — zero Python, zero shuffle."""
+    words = F.filter(tokens_col(text), lambda t: t != "")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + word_syllables(w).cast("long"),
+    )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch_ease_r, fk_grade_r)
+    per document. Sentences = terminal-punctuation runs ([.!?]+), min 1;
+    scores use the canonical coefficients:
+
+        ease  = 206.835 - 1.015 * words/sentence - 84.6 * syllables/word
+        grade = 0.39 * words/sentence + 11.8 * syllables/word - 15.59
+
+    Zero-word documents are dropped (no ratio is defined). Pure per-row
+    expressions — zero shuffle, zero Python, scan-speed at any corpus
+    size; rounded to 4 (the catalog float policy)."""
+    t = F.col(text_col)
+    words = F.size(F.filter(tokens_col(t), lambda x: x != "")).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    sylls = syllable_count(t)
+    wps = words.cast("double") / sents.cast("double")
+    spw = sylls.cast("double") / words.cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("n_words"),
+            sents.alias("n_sentences"),
+            sylls.alias("n_syllables"),
+            F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias(
+                "flesch_ease_r"
+            ),
+            F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade_r"),
+        )
+        .filter(F.col("n_words") > 0)
+    )

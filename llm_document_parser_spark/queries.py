@@ -7651,3 +7651,50 @@ def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pq_adc_neighbors"] = _pq_adc_oracle(300, 64, 4, _PQ_INIT_IDS, 2, 5, 5)
+
+
+@query(
+    "doc_readability",
+    """
+    WITH raw AS (
+      SELECT doc_id, text, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    t AS (SELECT doc_id, w FROM raw WHERE w <> ''),
+    per AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(w, '[aeiouy]+'))
+               - CASE WHEN regexp_matches(w,
+                   '[aeiouy][a-z]*[bcdfghjkmnpqrstvwxz]e$')
+                 THEN 1 ELSE 0 END, 1) AS syl
+      FROM t),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(syl) AS BIGINT) AS n_syllables
+            FROM per GROUP BY doc_id),
+    sents AS (SELECT doc_id,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences
+              FROM documents)
+    SELECT a.doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+             AS flesch_ease_r,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59, 4) AS fk_grade_r
+    FROM agg a JOIN sents s ON a.doc_id = s.doc_id
+    WHERE n_words > 0
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document
+    (operators/textstats.readability_scores): vowel-group syllable
+    approximation with silent-e correction and the 1-per-word floor,
+    terminal-punctuation sentence counting — the curriculum-ordering
+    difficulty signal, scored natively at scan speed. Both engines
+    compute words/sentences/syllables independently and must agree on
+    the counts exactly and the scores to 4 decimals."""
+    from .operators.textstats import readability_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return readability_scores(d)
