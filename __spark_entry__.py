@@ -220,6 +220,7 @@ _DEMOTED = (
     "dup_span_removal",
     "cluster_keep_best",
     "bm25_relevance",  # yields its slot to pq_adc_neighbors (same session)
+    "phrase_search_hits",  # yields its slot to doc_readability
 )
 
 
