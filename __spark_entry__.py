@@ -221,6 +221,7 @@ _DEMOTED = (
     "cluster_keep_best",
     "bm25_relevance",  # yields its slot to pq_adc_neighbors (same session)
     "phrase_search_hits",  # yields its slot to doc_readability
+    "semantic_dedup",  # yields its slot to ivf_adc_search
 )
 
 

@@ -332,3 +332,105 @@ def pq_adc_topk(
             "adc_dist",
         )
     )
+
+
+def ivf_adc_topk(
+    queries_df: "DataFrame",
+    corpus_df: "DataFrame",
+    coarse_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """IVF-PQ search — the production ANN plan end to end (FAISS
+    IndexIVFPQ): the corpus is stored as (cell, codes) — coarse cell
+    from the full-dimension quantizer, PQ codes per subspace, floats
+    discarded; a query probes only its ``n_probe`` nearest coarse
+    cells and ADC-scores the candidates there. Composition of the
+    verified pieces: kmeans_dataflow.assign_cells (coarse),
+    _pq_codes_col (codes), similarity's probe-cell algebra, pq_adc_topk
+    scoring.
+
+    Scale shape (unlike the brute-force pq_adc_topk tier): the join is
+    a CELL EQUI-JOIN — the broadcast query side explodes to
+    (query, probe_cell) rows and matches corpus rows on cell, so the
+    scored candidate count is the probed cells' population, not
+    |queries| x |corpus|. Partition/bucket the stored index by cell and
+    the probe is a pruned scan. Returns (query_id, neighbor_id, rank,
+    adc_dist); round-6-before-rank, id tie-breaks, self-matches
+    excluded."""
+    from ..ml.kmeans_dataflow import _dist2
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    # stored index: (id, cell, codes) — one zero-shuffle projection
+    cell_scored = F.array(
+        *[
+            F.struct(_dist2(F.col(vec_col), c).alias("dist"), F.lit(i).alias("cell"))
+            for i, c in enumerate(coarse_centroids)
+        ]
+    )
+    index = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_min(cell_scored)["cell"].alias("cell"),
+        _pq_codes_col(vec_col, codebooks).alias("codes"),
+    )
+    # query side: probe cells (n_probe nearest coarse centroids) +
+    # per-subspace distance tables, then explode probes for the equi-join
+    ranked_cells = F.transform(
+        F.slice(F.array_sort(cell_scored), 1, n_probe), lambda s: s["cell"]
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        ranked_cells.alias("probe_cells"),
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col(vec_col), j * sub + 1, sub),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in codebooks[j]
+                ]
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    ).select(
+        "query_id",
+        F.explode("probe_cells").alias("cell"),
+        *[f"t{j}" for j in range(m)],
+    )
+    dist = F.round(
+        sum(
+            F.element_at(F.col(f"t{j}"), F.col("codes")[j] + 1)
+            for j in range(m)
+        ),
+        6,
+    )
+    cands = index.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            "adc_dist",
+        )
+    )

@@ -83,9 +83,11 @@ def winnow_from_grams(hs: Column, w: int = 4) -> Column:
     overlap; min is idempotent, so overlap is harmless). Total work is
     O(n log w) unboxed comparisons in codegen with ONE array allocation
     per pass — the naive per-window ``slice + array_min`` form is
-    O(n·w) with a w-element allocation per window, measured 693 s for
-    50k pages at w=9 versus ~25 s for this form (same output,
-    tests/test_winnow.py replay parity unchanged).
+    O(n·w) with a w-element allocation per window, measured >500 s for
+    the fingerprint stage of 50k pages at w=9 versus 5.5 s for this
+    form (same output, tests/test_winnow.py replay parity unchanged;
+    end-to-end pair leg 693 s → 7.1 s with the materialize-before-
+    explode fix in winnow_overlap_pairs).
 
     ``hs`` MUST be a real column (a prior projection), not the inline
     ``gram_hashes`` expression: Catalyst does not common-subexpression-

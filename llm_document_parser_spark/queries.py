@@ -7698,3 +7698,185 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return readability_scores(d)
+
+
+def _ivf_adc_oracle(
+    n_vecs: int, dim: int, m: int, pq_init: list[int], pq_iters: int,
+    coarse_init: list[int], coarse_iters: int, n_queries: int, k: int,
+    n_probe: int,
+) -> str:
+    """DuckDB mirror of quantize.ivf_adc_topk: re-train the coarse
+    quantizer (full-dim Lloyd chain) AND the per-subspace PQ codebooks,
+    re-assign corpus cells, pick each query's n_probe cells, and
+    ADC-score only the candidates in probed cells. All chains
+    MATERIALIZED (the HITS-oracle lesson)."""
+    sub = dim // m
+    seedg = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {vid} AS vid" for c, vid in enumerate(coarse_init)
+    )
+    seedp = " UNION ALL ".join(
+        f"SELECT {c} AS cell, {vid} AS vid" for c, vid in enumerate(pq_init)
+    )
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {n_vecs}),",
+        f"v AS MATERIALIZED (SELECT vec_id, range AS dim,"
+        f" CAST(embedding[range] AS DOUBLE) AS val"
+        f" FROM e, range(1, {dim + 1})),",
+        f"seedg AS ({seedg}),",
+        f"seedp AS ({seedp}),",
+        "cg0 AS MATERIALIZED (SELECT s.cell, v.dim, v.val AS w"
+        " FROM seedg s JOIN v ON v.vec_id = s.vid),",
+    ]
+    for i in range(coarse_iters):
+        parts.append(
+            f"dg{i} AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+            " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+            f" FROM v JOIN cg{i} c ON v.dim = c.dim"
+            " GROUP BY v.vec_id, c.cell),"
+        )
+        parts.append(
+            f"ag{i} AS MATERIALIZED (SELECT vec_id, cell FROM ("
+            f"  SELECT vec_id, cell, row_number() OVER ("
+            "     PARTITION BY vec_id ORDER BY dist, cell) AS r"
+            f"  FROM dg{i}) WHERE r = 1),"
+        )
+        parts.append(
+            f"ng{i} AS MATERIALIZED (SELECT a.cell, v.dim, avg(v.val) AS w"
+            f" FROM ag{i} a JOIN v ON v.vec_id = a.vec_id"
+            " GROUP BY a.cell, v.dim),"
+        )
+        parts.append(
+            f"cg{i + 1} AS MATERIALIZED (SELECT c.cell, c.dim,"
+            f" coalesce(n.w, c.w) AS w FROM cg{i} c LEFT JOIN ng{i} n"
+            " ON c.cell = n.cell AND c.dim = n.dim),"
+        )
+    parts.append(
+        f"dgf AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+        " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+        f" FROM v JOIN cg{coarse_iters} c ON v.dim = c.dim"
+        " GROUP BY v.vec_id, c.cell),"
+    )
+    parts.append(
+        "cellmap AS MATERIALIZED (SELECT vec_id, cell FROM ("
+        " SELECT vec_id, cell, row_number() OVER ("
+        " PARTITION BY vec_id ORDER BY dist, cell) AS r FROM dgf)"
+        " WHERE r = 1),"
+    )
+    parts.append(
+        f"probe AS MATERIALIZED (SELECT vec_id AS query_id, cell FROM ("
+        " SELECT vec_id, cell, row_number() OVER ("
+        " PARTITION BY vec_id ORDER BY dist, cell) AS r FROM dgf"
+        f" WHERE vec_id < {n_queries}) WHERE r <= {n_probe}),"
+    )
+    code_sel, dtab_sel = [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"v{j} AS MATERIALIZED (SELECT * FROM v"
+            f" WHERE dim BETWEEN {lo} AND {hi}),"
+        )
+        parts.append(
+            f"c0_{j} AS MATERIALIZED (SELECT s.cell, v.dim, v.val AS w"
+            f" FROM seedp s JOIN v{j} v ON v.vec_id = s.vid),"
+        )
+        for i in range(pq_iters):
+            parts.append(
+                f"d{i}_{j} AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+                " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+                f" FROM v{j} v JOIN c{i}_{j} c ON v.dim = c.dim"
+                " GROUP BY v.vec_id, c.cell),"
+            )
+            parts.append(
+                f"a{i}_{j} AS MATERIALIZED (SELECT vec_id, cell FROM ("
+                f"  SELECT vec_id, cell, row_number() OVER ("
+                "     PARTITION BY vec_id ORDER BY dist, cell) AS r"
+                f"  FROM d{i}_{j}) WHERE r = 1),"
+            )
+            parts.append(
+                f"n{i}_{j} AS MATERIALIZED (SELECT a.cell, v.dim,"
+                f" avg(v.val) AS w FROM a{i}_{j} a"
+                f" JOIN v{j} v ON v.vec_id = a.vec_id"
+                " GROUP BY a.cell, v.dim),"
+            )
+            parts.append(
+                f"c{i + 1}_{j} AS MATERIALIZED (SELECT c.cell, c.dim,"
+                f" coalesce(n.w, c.w) AS w FROM c{i}_{j} c"
+                f" LEFT JOIN n{i}_{j} n"
+                " ON c.cell = n.cell AND c.dim = n.dim),"
+            )
+        parts.append(
+            f"df_{j} AS MATERIALIZED (SELECT v.vec_id, c.cell,"
+            " round(sum((v.val - c.w) * (v.val - c.w)), 9) AS dist"
+            f" FROM v{j} v JOIN c{pq_iters}_{j} c ON v.dim = c.dim"
+            " GROUP BY v.vec_id, c.cell),"
+        )
+        parts.append(
+            f"code_{j} AS MATERIALIZED (SELECT vec_id, {j} AS subspace,"
+            f" cell AS code FROM (SELECT vec_id, cell, row_number() OVER ("
+            " PARTITION BY vec_id ORDER BY dist, cell) AS r"
+            f" FROM df_{j}) WHERE r = 1),"
+        )
+        parts.append(
+            f"dtab_{j} AS MATERIALIZED (SELECT q.vec_id AS query_id,"
+            f" {j} AS subspace, c.cell,"
+            " sum((q.val - c.w) * (q.val - c.w)) AS d"
+            f" FROM (SELECT * FROM v{j} WHERE vec_id < {n_queries}) q"
+            f" JOIN c{pq_iters}_{j} c ON q.dim = c.dim"
+            " GROUP BY q.vec_id, c.cell),"
+        )
+        code_sel.append(f"SELECT * FROM code_{j}")
+        dtab_sel.append(f"SELECT * FROM dtab_{j}")
+    parts.append(
+        "codes AS MATERIALIZED (" + " UNION ALL ".join(code_sel) + "),"
+    )
+    parts.append(
+        "dtab AS MATERIALIZED (" + " UNION ALL ".join(dtab_sel) + "),"
+    )
+    parts.append(
+        "cands AS MATERIALIZED (SELECT p.query_id, cm.vec_id AS neighbor_id"
+        " FROM probe p JOIN cellmap cm ON p.cell = cm.cell"
+        " WHERE p.query_id <> cm.vec_id),"
+    )
+    parts.append(
+        "score AS MATERIALIZED (SELECT ca.query_id, ca.neighbor_id,"
+        " round(sum(t.d), 6) AS adc_dist"
+        " FROM cands ca JOIN codes cd ON cd.vec_id = ca.neighbor_id"
+        " JOIN dtab t ON t.query_id = ca.query_id"
+        " AND t.subspace = cd.subspace AND t.cell = cd.code"
+        " GROUP BY ca.query_id, ca.neighbor_id),"
+    )
+    parts.append(
+        "ranked AS (SELECT query_id, neighbor_id, adc_dist,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY adc_dist, neighbor_id) AS rnk FROM score)"
+        f" SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,"
+        f" adc_dist FROM ranked WHERE rnk <= {k}"
+    )
+    return "\n".join(parts)
+
+
+@query("ivf_adc_search", None)  # oracle attached below (generated)
+def ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search end to end (operators/quantize.ivf_adc_topk — the
+    FAISS IndexIVFPQ plan): corpus stored as (cell, codes) with floats
+    discarded; 5 queries probe their 2 nearest coarse cells and
+    ADC-score only those candidates via a cell EQUI-join (never a cross
+    join — the scale path the brute pq_adc_neighbors tier verifies
+    against). Coarse quantizer shares training with
+    kmeans_cell_centroids and the codebooks with pq_vector_codes, so
+    all four ANN entries are pinned to the same models; the oracle
+    re-derives everything in SQL."""
+    from .ml.kmeans_dataflow import kmeans_lloyd
+    from .operators.quantize import ivf_adc_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    coarse = kmeans_lloyd(e, _KMEANS_INIT_IDS, iterations=2)
+    books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_adc_topk(q, e, coarse, books, k=5, n_probe=2)
+
+
+ORACLES["ivf_adc_search"] = _ivf_adc_oracle(
+    300, 64, 4, _PQ_INIT_IDS, 2, _KMEANS_INIT_IDS, 2, 5, 5, 2
+)

@@ -191,3 +191,52 @@ def test_pq_adc_topk_parity_and_recall(spark):
         if exact in [ni for (qq, ni, _, _) in want if qq == qi]:
             hits += 1
     assert hits >= 2
+
+
+def test_ivf_adc_composition(spark):
+    from llm_document_parser_spark.ml.kmeans_dataflow import (
+        assign_cells,
+        kmeans_lloyd,
+    )
+    from llm_document_parser_spark.operators.quantize import (
+        ivf_adc_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(41)
+    # three well-separated blobs so coarse cells are meaningful
+    blobs = np.vstack(
+        [rng.randn(20, 8) * 0.3 + c for c in (np.r_[4, np.zeros(7)],
+                                              np.r_[0, 4, np.zeros(6)],
+                                              np.r_[0, 0, 4, np.zeros(5)])]
+    )
+    df = _df(spark, blobs)
+    coarse = kmeans_lloyd(df, [0, 20, 40], iterations=2)
+    books = pq_train(df, m=4, init_ids=[0, 1, 2], iterations=2)
+    q = _df(spark, blobs[:2])  # queries live in blob 0
+    got = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["adc_dist"])
+        for r in ivf_adc_topk(q, df, coarse, books, k=5, n_probe=1).collect()
+    ]
+    # with n_probe=1 every neighbor must come from the query's own cell
+    cells = {
+        r["vec_id"]: r["cell"] for r in assign_cells(df, coarse).collect()
+    }
+    for qid, nid, _, _ in got:
+        assert cells[nid] == cells[qid], (qid, nid)
+    # and the scored subset must agree with the brute ADC tier: the
+    # brute ranking restricted to the query's cell is the IVF ranking
+    brute = [
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in pq_adc_topk(q, pq_encode(df, books), books, k=60).collect()
+    ]
+    for qid in (0, 1):
+        in_cell = [
+            (d, n) for (qq, n, d) in brute
+            if qq == qid and cells[n] == cells[qid]
+        ]
+        in_cell.sort()
+        want = [(qid, n, rank, d) for rank, (d, n) in enumerate(in_cell[:5], 1)]
+        assert [g for g in got if g[0] == qid] == want, qid
