@@ -37,7 +37,17 @@ def benchmark_ngrams(
     n: int = 13,
 ) -> DataFrame:
     """(ngram, bench_id) — distinct n-grams per benchmark item. Small by
-    construction; computed once and reused across corpus shards."""
+    construction; computed once and reused across corpus shards.
+
+    The benchmark frame usually arrives as a handful of input splits (a
+    single eval-set file is ONE scan task), while the shingle HOF above it
+    is the expensive interpreted part — rebalance it across the cluster
+    first when it is under-partitioned (guide §2.5: repartition
+    immediately after a small-file read). The repartition moves only the
+    benchmark rows (small by contract), never the corpus."""
+    par = benchmark.sparkSession.sparkContext.defaultParallelism
+    if benchmark.rdd.getNumPartitions() < par:
+        benchmark = benchmark.repartition(par)
     return (
         benchmark.select(
             F.col(id_col).alias("bench_id"),

@@ -79,6 +79,39 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     )
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, s) — one row per k-shingle OCCURRENCE, fully whole-stage
+    codegen: tokens materialize once per row, an index explode generates
+    positions, and each shingle is a concat of k element_at lookups.
+
+    This is the signature-path twin of ``shingles_col``: it emits the
+    raw occurrence multiset (NO array_distinct), which is equivalent for
+    every min-aggregate consumer (min over a multiset == min over its
+    distinct set) and for distinct-counting consumers, while avoiding
+    the interpreted per-element HOF transform and the per-doc array
+    allocation entirely. Callers that need the distinct shingle SET as
+    an array (Jaccard verification) still use ``shingles_col``."""
+    toks = tokens_col(F.col(text_col))
+    staged = df.filter(F.size(toks) >= shingle_k).select(
+        F.col(id_col).alias("id"), toks.alias("_tk")
+    )
+    idx = F.sequence(F.lit(1), F.size("_tk") - (shingle_k - 1))
+    return staged.select(
+        "id", "_tk", F.explode(idx).alias("_i")
+    ).select(
+        "id",
+        F.concat_ws(
+            " ",
+            *[
+                F.try_element_at("_tk", F.col("_i") + j)
+                for j in range(shingle_k)
+            ],
+        ).alias("s"),
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     """ARRAY<STRING> of per-hash-function minima: element h is
     min(md5(h || ':' || shingle)) — the md5-hex-string analog of k
@@ -143,17 +176,13 @@ def minhash_candidate_pairs(
     Production near-dup passes should run r≥4 (r=8 → threshold ≈0.77,
     the standard near-dup operating point).
     """
-    # explode shingles then agg per-hash minima: one narrow pass + one
-    # shuffle keyed on id. (Computing the signature as a nested array
-    # expression would inline the shingle transform num_hashes times —
-    # codegen blowup and redundant work.)
-    sh = (
-        df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("s"),
-        )
-    )
+    # codegen occurrence explode then agg per-hash minima: one narrow
+    # pass + one shuffle keyed on id. (Computing the signature as a
+    # nested array expression would inline the shingle transform
+    # num_hashes times — codegen blowup and redundant work; exploding a
+    # distinct ARRAY via the HOF transform is interpreted per element —
+    # min over the raw occurrence multiset is identical and all codegen.)
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k)
     return _pairs_from_exploded_shingles(sh, num_hashes, bands, hash_fn)
 
 
@@ -245,13 +274,7 @@ def minhash_band_index(
     index's identity: an increment probed with different parameters finds
     garbage — persist the tuple alongside (e.g. directory name) and assert
     it on read."""
-    sh = (
-        df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles_col(F.col(text_col), shingle_k)).alias("s"),
-        )
-    )
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k)
     return _band_table(sh, num_hashes, bands, hash_fn)
 
 
@@ -355,23 +378,34 @@ def verified_near_dup_pairs(
     only ever touches pairs the LSH surfaced (recall governed by the
     band/row geometry; verification removes LSH false positives).
 
-    The shingle table is computed ONCE and materialized with
-    ``localCheckpoint`` — the naive composition runs the (interpreted,
-    ~18 µs/shingle) shingle transform three times: once for signatures
-    and once per verification join leg. Materializing the shingle table
-    is what production pipelines do anyway (the signature/shingle table
-    is reused across dedup runs); at corpus scale, write it to a real
-    table instead and feed the two stages from there."""
-    sh = df.select(
-        # native id type — must match minhash_candidate_pairs' id_a/id_b
-        # (string ids under a cast('long') become NULL and join nothing)
+    Cost structure (measured round 6): candidates come from the fully
+    codegen occurrence explode (``_exploded_shingles`` — no interpreted
+    HOF, no per-doc array materialization), and the distinct shingle
+    ARRAYS needed for exact Jaccard are computed only for documents that
+    actually appear in a candidate pair — a semi-join back to the input.
+    The candidate pair list is the thing ``localCheckpoint``-ed (it is
+    ids only, tiny next to a corpus-wide shingle-array table, and it is
+    consumed three times: the pair list itself plus the two
+    candidate-doc legs). At corpus scale the same shape holds: the LSH
+    index never materializes shingle sets, and verification touches only
+    the candidate neighborhood."""
+    cands = _pairs_from_exploded_shingles(
+        _exploded_shingles(df, id_col, text_col, shingle_k),
+        num_hashes, bands, hash_fn,
+    ).localCheckpoint()
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_vid"))
+        .unionByName(cands.select(F.col("id_b").alias("_vid")))
+        .distinct()
+    )
+    # native id type — must match minhash_candidate_pairs' id_a/id_b
+    # (string ids under a cast('long') become NULL and join nothing)
+    sh = df.join(
+        cand_ids, df[id_col] == cand_ids["_vid"], "left_semi"
+    ).select(
         F.col(id_col).alias("_vid"),
         shingles_col(F.col(text_col), shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0).localCheckpoint()
-    cands = _pairs_from_exploded_shingles(
-        sh.select(F.col("_vid").alias("id"), F.explode("_sh").alias("s")),
-        num_hashes, bands, hash_fn,
-    )
+    ).localCheckpoint()
     joined = cands.join(
         sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a"
     ).join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")
@@ -524,27 +558,37 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    ckpt = labels
     for _ in range(max_iterations):
+        # the OLD label rides through the min-agg (non-null only on the
+        # self arm, one per id since edge dsts ⊆ label ids), so the
+        # convergence check reads the checkpointed result instead of
+        # re-joining new labels against old — one join + one shuffle less
+        # per iteration. Labels only ever decrease, so changed ⇔ any
+        # new label < old label.
         propagated = (
             edges.join(labels, edges["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), "label")
-            .unionByName(labels.select("id", "label"))
+            .select(
+                F.col("dst").alias("id"),
+                "label",
+                F.lit(None).cast(labels.schema["label"].dataType).alias("old"),
+            )
+            .unionByName(
+                labels.select("id", "label", F.col("label").alias("old"))
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint()
         )
         changed = (
-            propagated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            propagated.filter(F.col("label") < F.col("old")).limit(1).count()
         )
         # propagated is materialized (checkpointed) and `changed` consumed
         # the old labels — drop the stale iteration's blocks so executor
         # storage stays O(1) in iteration count on large pair graphs
-        labels.unpersist()
-        labels = propagated
+        ckpt.unpersist()
+        ckpt = propagated
+        labels = propagated.select("id", "label")
         if changed == 0:
             edges.unpersist()
             return labels.select("id", F.col("label").alias("component"))

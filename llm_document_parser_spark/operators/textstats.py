@@ -278,14 +278,14 @@ def repetition_stats(
     )
     sep_pat = re.escape(unit_sep)
 
-    units = base.select(
-        "_rid",
-        F.explode(
-            F.filter(
-                F.transform(F.split("_text", sep_pat), lambda x: F.trim(x)),
-                lambda x: x != "",
-            )
-        ).alias("unit"),
+    # explode first, trim/drop-empties after: the explode of the plain
+    # split array plus a scalar trim + filter is whole-stage codegen,
+    # where the transform/filter HOF pair is interpreted per element
+    # (identical rows either way; downstream is an unordered groupBy)
+    units = (
+        base.select("_rid", F.explode(F.split("_text", sep_pat)).alias("_u"))
+        .select("_rid", F.trim("_u").alias("unit"))
+        .filter(F.col("unit") != "")
     )
     unit_counts = units.groupBy("_rid", "unit").agg(
         F.count("*").alias("c")
@@ -300,18 +300,26 @@ def repetition_stats(
         ).alias("dup_unit_char_frac"),
     )
 
-    toks = F.filter(F.split(F.lower(F.col("_text")), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, F.lit(1), n - 1),
-            F.slice(toks, F.lit(2), n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # empty-token removal via array_remove (a plain codegen expression)
+    # instead of the filter HOF, and bigram formation via an index
+    # explode + two element_at lookups instead of the interpreted
+    # zip_with-over-slices — same (token_i, token_i+1) multiset per doc,
+    # all whole-stage codegen
+    toks = F.array_remove(F.split(F.lower(F.col("_text")), r"\s+"), "")
+    idx = F.when(F.size("_tk") >= 2, F.sequence(F.lit(1), F.size("_tk") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     bigram_counts = (
-        base.select("_rid", F.explode(bigrams).alias("bigram"))
+        base.select("_rid", toks.alias("_tk"))
+        .select("_rid", "_tk", F.explode(idx).alias("_i"))
+        .select(
+            "_rid",
+            F.concat_ws(
+                " ",
+                F.try_element_at("_tk", F.col("_i")),
+                F.try_element_at("_tk", F.col("_i") + 1),
+            ).alias("bigram"),
+        )
         .groupBy("_rid", "bigram")
         .agg(F.count("*").alias("c"))
     )

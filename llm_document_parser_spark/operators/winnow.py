@@ -56,8 +56,22 @@ def gram_hashes(text: Column, k: int = 5, hash_fn: str = "md5") -> Column:
     ``xxhash64`` values — the production mode: 8-byte longs instead of
     32-char strings cut the per-document gram array ~8× and make window
     minima integer compares, the same md5/fast split as
-    dedup.minhash_signatures."""
-    clean = _clean(text)
+    dedup.minhash_signatures.
+
+    IMPORTANT (cost): ``text`` should be an ALREADY-CLEANED materialized
+    column (``_clean`` staged in a prior projection) when called at
+    corpus width — Catalyst does not CSE inside HOF lambdas, so the
+    whitespace-collapse regex in ``_clean`` would otherwise re-run once
+    PER GRAM POSITION (measured ~3× the whole fingerprint stage).
+    ``winnow_fingerprints`` stages it; this convenience wrapper cleans
+    inline for small/test callers."""
+    return _gram_hashes_of_clean(_clean(text), k, hash_fn)
+
+
+def _gram_hashes_of_clean(clean: Column, k: int, hash_fn: str) -> Column:
+    """Gram hashes over text that is ALREADY whitespace-normalized — the
+    lambda body references only cheap per-element expressions (substr +
+    hash) on the input column."""
     n = F.length(clean)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -162,9 +176,15 @@ def winnow_fingerprints(
     CollapseProject keeps them apart — the gram expression is non-cheap
     and multiply-referenced — asserted by tests/test_winnow.py's
     density-bound timing canary."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        gram_hashes(F.col(text_col), k, hash_fn).alias("_hs"),
+    # three staged projections: the cleaned text materializes first (the
+    # HOF lambda must not reference the whitespace-collapse regex — no
+    # CSE inside lambdas, it would re-run per gram position), then grams,
+    # then the window minima over the stored array.
+    cleaned = df.select(
+        F.col(id_col).alias("id"), _clean(F.col(text_col)).alias("_ct")
+    )
+    grams = cleaned.select(
+        "id", _gram_hashes_of_clean(F.col("_ct"), k, hash_fn).alias("_hs")
     )
     return grams.select(
         "id", winnow_from_grams(F.col("_hs"), w).alias("fingerprints")

@@ -33,7 +33,53 @@ ORACLES: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n = _scan_balance_width(spark, f"{sf_dir}/{name}.parquet")
+    return df.repartition(n) if n else df
+
+
+# Repartition-after-read gate (guide §2.5 "input skew": one small file =
+# one scan task). The sf tables are single-file/single-row-group parquet,
+# so EVERY narrow stage above them — interpreted HOF shingling, regex
+# gates, explode fan-outs — runs on ONE core until the first exchange
+# (measured at sf1.0: the curation_funnel shingle projection alone was
+# 80 s single-task; 64-way it is ~3 s). The gate is size-derived, so at
+# real corpus scale (many files / many row groups) it returns 0 and adds
+# nothing: a 100 TB table already scans wide, and an unconditional
+# repartition there would be a full-corpus shuffle.
+_SCAN_BALANCE_MAX_BYTES = 64 << 20  # only rebalance small inputs
+_SCAN_BALANCE_ROW_BYTES = 64 << 10  # ~64 KB of parquet per partition
+
+
+def _scan_balance_width(spark: SparkSession, path: str) -> int:
+    import math
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            files = [
+                _os.path.join(path, f)
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            size = sum(_os.path.getsize(f) for f in files)
+            n_files = max(1, len(files))
+        else:
+            size = _os.path.getsize(path)
+            n_files = 1
+    except OSError:
+        return 0
+    if size == 0 or size > _SCAN_BALANCE_MAX_BYTES:
+        return 0
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    est_scan_parts = max(n_files, math.ceil(size / max_split))
+    par = spark.sparkContext.defaultParallelism
+    if est_scan_parts >= par:
+        return 0
+    target = min(2 * par, max(1, size // _SCAN_BALANCE_ROW_BYTES))
+    return target if target > est_scan_parts else 0
 
 
 def query(name: str, oracle: str | None = None):
