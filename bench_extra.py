@@ -197,13 +197,79 @@ def probe_repetition(spark):
     )
 
 
+def probe_graph(spark):
+    """redirects_1m and trust_prop_1m_edges, exactly as bench.py builds
+    them, plus their synthetic-input generation cost in isolation."""
+    from llm_document_parser_spark.operators import links as lk
+    from llm_document_parser_spark.operators.labelprop import propagate_trust
+
+    FF = F
+
+    def edges_redirect():
+        return (
+            spark.range(1_000_000)
+            .filter(FF.pmod("id", 16) != 15)
+            .select(
+                FF.concat(FF.lit("n"), FF.col("id").cast("string")).alias("src"),
+                FF.concat(FF.lit("n"), (FF.col("id") + 1).cast("string")).alias("dst"),
+            )
+        )
+
+    timed(spark, "graph/redirect_edges_gen", lambda: noop(edges_redirect()))
+    timed(
+        spark,
+        "graph/redirects_1m",
+        lambda: noop(lk.resolve_redirects(edges_redirect(), max_hops=32)),
+    )
+
+    def edges_trust():
+        return (
+            spark.range(1_000_000)
+            .select(
+                FF.concat(FF.lit("h"), FF.pmod("id", 125_000).cast("string")).alias(
+                    "src_host"
+                ),
+                FF.concat(
+                    FF.lit("h"), FF.pmod(FF.col("id") * 31 + 7, 125_000).cast("string")
+                ).alias("dst_host"),
+                (FF.pmod("id", 5) + 1).alias("n_links"),
+            )
+            .filter(FF.col("src_host") != FF.col("dst_host"))
+        )
+
+    def seeds_trust():
+        return spark.range(64).select(
+            FF.concat(FF.lit("h"), (FF.col("id") * 1951).cast("string")).alias("host"),
+            FF.lit(1.0).alias("seed"),
+        )
+
+    timed(spark, "graph/trust_edges_gen", lambda: noop(edges_trust()))
+    timed(
+        spark,
+        "graph/trust_prop_1m",
+        lambda: noop(propagate_trust(edges_trust(), seeds_trust(), iterations=3)),
+    )
+
+
 def main():
     group = sys.argv[1] if len(sys.argv) > 1 else "funnel"
-    spark = get_spark(master=f"local[{CPUS}]", app_name=f"ldp-probe-{group}")
+    extra = {}
+    if os.environ.get("PROBE_SHJ") == "1":
+        extra = {
+            "spark.sql.join.preferSortMergeJoin": "false",
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "67108864",
+        }
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name=f"ldp-probe-{group}",
+        extra_conf=extra or None,
+    )
     if group == "funnel":
         probe_funnel(spark)
     elif group == "repetition":
         probe_repetition(spark)
+    elif group == "graph":
+        probe_graph(spark)
     else:
         raise SystemExit(f"unknown probe group {group}")
     spark.stop()

@@ -111,10 +111,35 @@ def build_seen_bloom(
     return SeenBloom(bitmap, m, k)
 
 
+# bitmaps up to this size are probed as pure codegen expressions against
+# an inlined array literal (zero Python, zero broadcast); bigger filters
+# (the 10^8-10^9-item crawl seen-sets) keep the Arrow+broadcast path so
+# the bitmap ships once per executor instead of riding the task binary
+_INLINE_BITMAP_MAX_BYTES = 4 << 20
+
+
 def _might_contain_pred(df: DataFrame, bloom: SeenBloom, col: str):
     """Boolean Column: value MIGHT be in the set ``bloom`` was built from
     (true for every member, plus false positives at the fpp rate).
-    Map-side only — one numpy bitmap gather against a broadcast bitmap."""
+    Map-side only. Small bitmaps: k element_at gathers + bit tests on an
+    inlined INT64 word array, fully whole-stage codegen (no
+    ArrowEvalPython node in the plan — the expression references one
+    shared literal, which Java closure serialization writes once).
+    Large bitmaps: one vectorized numpy gather against a broadcast
+    bitmap."""
+    if bloom.nbytes() <= _INLINE_BITMAP_MAX_BYTES:
+        words_lit = F.lit(bloom.words.view(np.int64).tolist())
+        pred = None
+        for p in _positions(F.col(col), bloom.num_bits, bloom.num_hashes):
+            word = F.try_element_at(
+                words_lit, F.shiftrightunsigned(p, 6).cast("int") + 1
+            )
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, 64).cast("int")
+            )
+            test = word.bitwiseAND(mask) != 0
+            pred = test if pred is None else pred & test
+        return pred
     # explicit broadcast: a closure-captured array reships with every
     # task's serialized UDF; a broadcast ships once per executor
     bc = df.sparkSession.sparkContext.broadcast(bloom.words)

@@ -917,12 +917,22 @@ def remove_duplicate_spans(
     starts = F.when(ntk >= n, F.sequence(F.lit(0), ntk - n)).otherwise(
         F.array().cast("array<int>")
     )
-    digests = F.transform(
-        starts,
-        lambda i: digest(F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, n))),
-    )
+    # gram digests via a codegen index explode + n element_at lookups
+    # (identical values to digesting transform+slice arrays — concat_ws
+    # over a slice is concat_ws over its elements — but whole-stage
+    # codegen instead of an interpreted per-gram lambda with a per-gram
+    # slice allocation); the explode position IS the gram start
     occ = base.select(
-        "_rid", F.posexplode(digests).alias("_s", "_dig")
+        "_rid", "_tk", F.explode(starts).alias("_s")
+    ).select(
+        "_rid",
+        "_s",
+        digest(
+            F.concat_ws(
+                " ",
+                *[F.try_element_at("_tk", F.col("_s") + j + 1) for j in range(n)],
+            )
+        ).alias("_dig"),
     )
     dup_digs = (
         occ.groupBy("_dig")

@@ -58,7 +58,18 @@ def propagate_trust(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    edges = edges.select("src_host", "dst_host", "n_links")
+    # materialize the edge table ONCE, hash-partitioned and sorted on the
+    # per-iteration join key: localCheckpoint preserves partitioning and
+    # ordering, so every iteration's scores⋈edges sort-merge join (and
+    # the out_weight agg) reads the edges side exchange-free and
+    # sort-free — the in-memory analog of a bucketed+sorted edge table,
+    # which is how a 10^12-edge graph would persist it anyway.
+    edges = (
+        edges.select("src_host", "dst_host", "n_links")
+        .repartition(F.col("src_host"))
+        .sortWithinPartitions("src_host")
+        .localCheckpoint(eager=True)
+    )
     seeds = seeds.select("host", F.col("seed").cast("double").alias("seed"))
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_weight"))
     nodes = (

@@ -63,11 +63,18 @@ def build_token_index(
     scale this table is materialized once and written partitioned/bucketed
     by token, so a query's `token IN (...)` filter prunes to the handful of
     posting partitions it touches instead of scanning documents."""
+    # explode the raw split and apply the analyzer predicate as a ROW
+    # filter (whole-stage codegen) rather than exploding the interpreted
+    # tokenize_col HOF — identical token multiset, no per-element
+    # lambda interpretation at corpus width
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokenize_col(F.col(text_col))).alias("token"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+                "token"
+            ),
         )
+        .filter((F.length("token") > 0) & ~F.col("token").isin(*STOPWORDS))
         .groupBy("token", "doc_id")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -252,12 +259,25 @@ def bm25_scores(
     — scoring touches only the query terms' posting lists, exactly the
     partitions a token-partitioned index layout prunes to.
     """
-    if index is None:
-        index = build_token_index(df, id_col=id_col, text_col=text_col)
     terms = tokenize_query(query)
     if not terms:
         terms = ["--no-terms--"]  # analyzer tokens are [a-z0-9]+; never equal
-    dl = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if index is None:
+        index = build_token_index(df, id_col=id_col, text_col=text_col)
+        # doc length = analyzer-token count, computed NARROWLY from the
+        # text (size of the filtered token array per row) instead of
+        # re-aggregating the posting index — sum(tf) per doc and the
+        # array size are the same number by construction, and this
+        # removes the second full-corpus explode+groupBy pass
+        dl = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokenize_col(F.col(text_col))).cast("long").alias("dl"),
+        ).filter(F.col("dl") > 0)  # index-absent (token-less) docs carry
+        # no posting rows, so they must not count toward N or avgdl
+    else:
+        # a caller-supplied index may use a different analyzer — derive
+        # lengths from the index itself, as before
+        dl = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs_total"), F.avg("dl").alias("avgdl")
     )

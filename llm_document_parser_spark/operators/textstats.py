@@ -323,20 +323,24 @@ def repetition_stats(
         .groupBy("_rid", "bigram")
         .agg(F.count("*").alias("c"))
     )
+    # argmax by (c DESC, bigram ASC) as a min-struct aggregation instead
+    # of a row_number window: structs order field-by-field, so
+    # min(struct(-c, bigram)) picks exactly the window's rn=1 row —
+    # deterministic ties included — while replacing the exchange+sort+
+    # window pass with one hash agg whose partials run map-side
     top = (
-        bigram_counts.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("_rid").orderBy(
-                    F.col("c").desc(), F.col("bigram")
+        bigram_counts.groupBy("_rid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("_negc"), F.col("bigram").alias("_bg")
                 )
-            ),
+            ).alias("_top")
         )
-        .filter(F.col("rn") == 1)
         .select(
             "_rid",
-            F.col("bigram").alias("top_bigram"),
-            F.col("c").alias("top_c"),
+            F.col("_top._bg").alias("top_bigram"),
+            (-F.col("_top._negc")).alias("top_c"),
         )
     )
 

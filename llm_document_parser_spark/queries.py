@@ -34,8 +34,11 @@ ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    n = _scan_balance_width(spark, f"{sf_dir}/{name}.parquet")
-    return df.repartition(n) if n else df
+    if name in _SCAN_BALANCE_TABLES:
+        n = _scan_balance_width(spark, f"{sf_dir}/{name}.parquet")
+        if n:
+            return df.repartition(n)
+    return df
 
 
 # Repartition-after-read gate (guide §2.5 "input skew": one small file =
@@ -49,6 +52,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # repartition there would be a full-corpus shuffle.
 _SCAN_BALANCE_MAX_BYTES = 64 << 20  # only rebalance small inputs
 _SCAN_BALANCE_ROW_BYTES = 64 << 10  # ~64 KB of parquet per partition
+# Only the corpus tables are rebalanced: their queries run heavy per-row
+# work (shingle/gram/regex/vector expressions) where a 64-way spread of a
+# one-task scan is worth an extra small exchange. The relational tables'
+# queries are scan-bound columnar aggregations with map-side partials —
+# measured: rebalancing events/orders made those legs 1.6-2.7x SLOWER
+# (the round-robin exchange + its pre-sort costs more than the single
+# scan task), while documents/embeddings queries gained 2-14x.
+_SCAN_BALANCE_TABLES = {"documents", "embeddings"}
 
 
 def _scan_balance_width(spark: SparkSession, path: str) -> int:

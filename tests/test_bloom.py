@@ -56,3 +56,43 @@ def test_probe_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # zero shuffle on the probe side
+
+
+def test_large_bitmap_arrow_path_no_false_negatives(spark):
+    # oversizing expected_items pushes the bitmap past the inline
+    # threshold, exercising the Arrow+broadcast probe path (the
+    # crawl-scale configuration); membership semantics must be identical
+    seen = _urls(spark, 0, 500)
+    bf = build_seen_bloom(seen, expected_items=5_000_000, fpp=0.01)
+    from llm_document_parser_spark.operators.bloom import (
+        _INLINE_BITMAP_MAX_BYTES,
+    )
+
+    assert bf.nbytes() > _INLINE_BITMAP_MAX_BYTES
+    survivors = filter_unseen(_urls(spark, 0, 500), bf).count()
+    assert survivors == 0  # every seen url probes true -> none survive
+
+
+def test_inline_and_arrow_probes_agree(spark):
+    # the codegen inline probe and the vectorized Arrow probe are two
+    # implementations of one bit layout: forcing each over the same
+    # filter geometry must keep every member (false negatives are
+    # impossible in both)
+    from llm_document_parser_spark.operators import bloom as bl
+
+    seen = _urls(spark, 0, 800)
+    cands = _urls(spark, 0, 2000)
+    bf = build_seen_bloom(seen, fpp=0.01)
+    assert bf.nbytes() <= bl._INLINE_BITMAP_MAX_BYTES
+    inline_kept = {
+        r["url"] for r in bl.filter_might_contain(cands, bf).collect()
+    }
+    orig = bl._INLINE_BITMAP_MAX_BYTES
+    bl._INLINE_BITMAP_MAX_BYTES = 0  # force the Arrow path
+    try:
+        arrow_kept = {
+            r["url"] for r in bl.filter_might_contain(cands, bf).collect()
+        }
+    finally:
+        bl._INLINE_BITMAP_MAX_BYTES = orig
+    assert inline_kept == arrow_kept

@@ -133,11 +133,13 @@ def test_bloom_prefilter_keeps_broadcast_join_shape(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    # the Bloom probe is the only Python: once on the corpus side, plus a
-    # copy Catalyst legally infers onto the (tiny) bench side through the
-    # equi-join constraint — harmless, every bench gram passes its own
-    # filter by construction
-    assert 1 <= plan.count("ArrowEvalPython") <= 2
+    # small bitmaps probe as pure codegen expressions against an inlined
+    # word array (round-6 optimization): NO Python stage in the plan at
+    # all — the JVM↔Python boundary only appears for bitmaps too big to
+    # inline (> _INLINE_BITMAP_MAX_BYTES), which this 500-gram filter is
+    # far below
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("BatchEvalPython") == 0
     # and the pre-filter adds ZERO shuffles vs the exact path: the corpus
     # stream still reaches the join exchange-free
     exact_plan = (
