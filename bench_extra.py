@@ -251,6 +251,58 @@ def probe_graph(spark):
     )
 
 
+def _docs50k(spark):
+    base = os.path.dirname(os.path.abspath(__file__))
+    return spark.read.parquet(os.path.join(base, ".data", "bench_dedup_docs_50000"))
+
+
+def probe_winnow(spark):
+    from llm_document_parser_spark.operators import winnow as wn
+
+    docs = _docs50k(spark)
+    cleaned = docs.select(
+        F.col("url").alias("id"), wn._clean(F.col("extracted_text")).alias("_ct")
+    )
+    timed(spark, "winnow/clean_only", lambda: noop(cleaned))
+    grams = cleaned.select(
+        "id", wn._gram_hashes_of_clean(F.col("_ct"), 10, "fast").alias("_hs")
+    )
+    timed(spark, "winnow/grams", lambda: noop(grams))
+    fps = grams.select(
+        "id", wn.winnow_from_grams(F.col("_hs"), 9).alias("fingerprints")
+    )
+    timed(spark, "winnow/fingerprints", lambda: noop(fps))
+    timed(
+        spark,
+        "winnow/full_pairs",
+        lambda: noop(
+            wn.winnow_overlap_pairs(
+                docs, id_col="url", text_col="extracted_text",
+                k=10, w=9, min_shared=4, max_df=50, hash_fn="fast",
+            )
+        ),
+    )
+
+
+def probe_extract(spark):
+    from llm_document_parser_spark.pipeline import extract_pipeline
+    from llm_document_parser_spark.operators.extract_udfs import payload_text_udf
+    from llm_document_parser_spark.operators.kind import doc_kind_col
+    from llm_document_parser_spark.operators.textclean import clean_text_col
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    pages = spark.read.parquet(os.path.join(base, ".data", "bench_pages_50000"))
+    kind = pages.withColumn("doc_kind", doc_kind_col(F.col("html")))
+    timed(spark, "extract/kind_only", lambda: noop(kind.select("url", "doc_kind")))
+    raw = kind.withColumn(
+        "raw_text", payload_text_udf(F.col("html"), F.col("doc_kind"))
+    ).select("url", "doc_kind", "raw_text")
+    timed(spark, "extract/through_udf", lambda: noop(raw))
+    cleanonly = raw.select("url", clean_text_col(F.col("raw_text")).alias("t"))
+    timed(spark, "extract/through_clean", lambda: noop(cleanonly))
+    timed(spark, "extract/full", lambda: noop(extract_pipeline(pages)))
+
+
 def main():
     group = sys.argv[1] if len(sys.argv) > 1 else "funnel"
     extra = {}
@@ -270,6 +322,10 @@ def main():
         probe_repetition(spark)
     elif group == "graph":
         probe_graph(spark)
+    elif group == "winnow":
+        probe_winnow(spark)
+    elif group == "extract":
+        probe_extract(spark)
     else:
         raise SystemExit(f"unknown probe group {group}")
     spark.stop()

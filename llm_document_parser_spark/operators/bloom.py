@@ -111,35 +111,50 @@ def build_seen_bloom(
     return SeenBloom(bitmap, m, k)
 
 
-# bitmaps up to this size are probed as pure codegen expressions against
-# an inlined array literal (zero Python, zero broadcast); bigger filters
-# (the 10^8-10^9-item crawl seen-sets) keep the Arrow+broadcast path so
-# the bitmap ships once per executor instead of riding the task binary
+# bitmaps up to this size are probed as pure codegen bit tests against a
+# broadcast ONE-ROW bitmap relation (zero Python in the plan); bigger
+# filters (the 10^8-10^9-item crawl seen-sets) keep the Arrow +
+# sparkContext.broadcast path, whose vectorized numpy gather amortizes
+# better once the bitmap itself is the dominant payload
 _INLINE_BITMAP_MAX_BYTES = 4 << 20
+
+_BLOOM_WORDS_COL = "__bloom_words__"
+
+
+def _bitmap_filter_native(
+    candidates: DataFrame, bloom: SeenBloom, col: str, keep_might: bool
+) -> DataFrame:
+    """JVM-only probe: the bitmap rides as a one-row broadcast relation
+    (a single real array value — NOT an F.lit(list), which PySpark turns
+    into a CreateArray of 56k literal children re-materialized per row;
+    measured 33 s vs 2 s at 9.5M probe rows). The k bit tests are plain
+    codegen expressions over the joined array column."""
+    spark = candidates.sparkSession
+    words_df = spark.createDataFrame(
+        [(bloom.words.view(np.int64).tolist(),)],
+        f"{_BLOOM_WORDS_COL} array<bigint>",
+    )
+    joined = candidates.crossJoin(F.broadcast(words_df))
+    warr = F.col(_BLOOM_WORDS_COL)
+    pred = None
+    for p in _positions(F.col(col), bloom.num_bits, bloom.num_hashes):
+        word = F.try_element_at(
+            warr, F.shiftrightunsigned(p, 6).cast("int") + 1
+        )
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, 64).cast("int")
+        )
+        test = word.bitwiseAND(mask) != 0
+        pred = test if pred is None else pred & test
+    return joined.filter(pred if keep_might else ~pred).drop(_BLOOM_WORDS_COL)
 
 
 def _might_contain_pred(df: DataFrame, bloom: SeenBloom, col: str):
     """Boolean Column: value MIGHT be in the set ``bloom`` was built from
     (true for every member, plus false positives at the fpp rate).
-    Map-side only. Small bitmaps: k element_at gathers + bit tests on an
-    inlined INT64 word array, fully whole-stage codegen (no
-    ArrowEvalPython node in the plan — the expression references one
-    shared literal, which Java closure serialization writes once).
-    Large bitmaps: one vectorized numpy gather against a broadcast
-    bitmap."""
-    if bloom.nbytes() <= _INLINE_BITMAP_MAX_BYTES:
-        words_lit = F.lit(bloom.words.view(np.int64).tolist())
-        pred = None
-        for p in _positions(F.col(col), bloom.num_bits, bloom.num_hashes):
-            word = F.try_element_at(
-                words_lit, F.shiftrightunsigned(p, 6).cast("int") + 1
-            )
-            mask = F.call_function(
-                "shiftleft", F.lit(1).cast("bigint"), F.pmod(p, 64).cast("int")
-            )
-            test = word.bitwiseAND(mask) != 0
-            pred = test if pred is None else pred & test
-        return pred
+    Map-side only — one vectorized numpy bitmap gather against a
+    broadcast bitmap (the large-filter path; small filters go through
+    ``_bitmap_filter_native``)."""
     # explicit broadcast: a closure-captured array reships with every
     # task's serialized UDF; a broadcast ships once per executor
     bc = df.sparkSession.sparkContext.broadcast(bloom.words)
@@ -168,6 +183,8 @@ def filter_unseen(
     """Candidate rows whose url is definitely NOT in the seen-set the
     filter was built from (map-side, zero shuffle; drops every seen url
     plus the fpp-rate of false positives)."""
+    if bloom.nbytes() <= _INLINE_BITMAP_MAX_BYTES:
+        return _bitmap_filter_native(candidates, bloom, url_col, keep_might=False)
     return candidates.filter(~_might_contain_pred(candidates, bloom, url_col))
 
 
@@ -182,4 +199,6 @@ def filter_might_contain(
     verifies survivors (see operators/decontaminate.py), where false
     positives cost a little join volume and false negatives would cost
     correctness."""
+    if bloom.nbytes() <= _INLINE_BITMAP_MAX_BYTES:
+        return _bitmap_filter_native(candidates, bloom, col, keep_might=True)
     return candidates.filter(_might_contain_pred(candidates, bloom, col))

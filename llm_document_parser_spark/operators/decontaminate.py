@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles_col
+from .dedup import _exploded_shingles, shingles_col  # noqa: F401 (shingles_col: API compat)
 
 
 def benchmark_ngrams(
@@ -49,10 +49,8 @@ def benchmark_ngrams(
     if benchmark.rdd.getNumPartitions() < par:
         benchmark = benchmark.repartition(par)
     return (
-        benchmark.select(
-            F.col(id_col).alias("bench_id"),
-            F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram"),
-        )
+        _exploded_shingles(benchmark, id_col, text_col, n)
+        .select(F.col("id").alias("bench_id"), F.col("s").alias("ngram"))
         .distinct()
     )
 
@@ -102,16 +100,22 @@ def contamination_report(
     key = "gkey" if join_on_hash else "ngram"
     if join_on_hash:
         bench = bench.select(F.xxhash64("ngram").alias("gkey"), "bench_id")
-    gram = F.explode(shingles_col(F.col(text_col), k=n)).alias("ngram")
+    # corpus grams via the codegen occurrence explode (dedup._exploded_
+    # shingles): identical contamination report — both count_distinct
+    # aggregates are insensitive to intra-doc gram repeats — with zero
+    # interpreted HOF work at corpus width
+    doc_ngrams = _exploded_shingles(docs, id_col, text_col, n).select(
+        F.col("id").alias(id_col), F.col("s").alias("ngram")
+    )
     if join_on_hash:
-        doc_ngrams = docs.select(F.col(id_col), gram).select(
-            id_col, F.xxhash64("ngram").alias("gkey")
-        )
-    else:
-        doc_ngrams = docs.select(F.col(id_col), gram)
+        doc_ngrams = doc_ngrams.select(id_col, F.xxhash64("ngram").alias("gkey"))
     if bloom_fpp is not None:
         from .bloom import build_seen_bloom, filter_might_contain
 
+        # the benchmark gram table is consumed three times on this path
+        # (sizing count, bitmap aggregation, final join) — materialize it
+        # once; it is benchmark-sized (small by contract), never corpus
+        bench = bench.localCheckpoint(eager=True)
         bench_keys = bench.select(key).distinct()
         bloom = build_seen_bloom(bench_keys, url_col=key, fpp=bloom_fpp)
         doc_ngrams = filter_might_contain(doc_ngrams, bloom, col=key)

@@ -400,12 +400,16 @@ def verified_near_dup_pairs(
     )
     # native id type — must match minhash_candidate_pairs' id_a/id_b
     # (string ids under a cast('long') become NULL and join nothing)
+    # no checkpoint here: both verification legs exchange this subtree
+    # on the same key (_vid), so ReuseExchange evaluates it once — the
+    # semi-join + shingle HOF over candidate docs runs a single time
+    # inside the final job
     sh = df.join(
         cand_ids, df[id_col] == cand_ids["_vid"], "left_semi"
     ).select(
         F.col(id_col).alias("_vid"),
         shingles_col(F.col(text_col), shingle_k).alias("_sh"),
-    ).localCheckpoint()
+    )
     joined = cands.join(
         sh.withColumnsRenamed({"_vid": "id_a", "_sh": "sh_a"}), "id_a"
     ).join(sh.withColumnsRenamed({"_vid": "id_b", "_sh": "sh_b"}), "id_b")

@@ -58,20 +58,27 @@ def text_spans_col(text: Column, patterns: Column) -> Column:
     each extracted pattern field's first value in the extracted text
     (0-based, end exclusive). Fields whose value doesn't occur verbatim are
     dropped."""
-    spans = F.transform(
+    # two-level transform so the O(text) instr scan runs ONCE per field:
+    # HOF lambdas get no subexpression elimination, so a single-level
+    # struct(start, end) would re-scan the text for the end position
+    located = F.transform(
         F.map_entries(patterns),
         lambda e: F.struct(
             e["key"].alias("field"),
             (F.instr(text, F.try_element_at(e["value"], F.lit(1))) - 1)
             .cast("long")
             .alias("start"),
-            (
-                F.instr(text, F.try_element_at(e["value"], F.lit(1)))
-                - 1
-                + F.length(F.try_element_at(e["value"], F.lit(1)))
-            )
+            F.length(F.try_element_at(e["value"], F.lit(1)))
             .cast("long")
-            .alias("end"),
+            .alias("vlen"),
+        ),
+    )
+    spans = F.transform(
+        located,
+        lambda s: F.struct(
+            s["field"].alias("field"),
+            s["start"].alias("start"),
+            (s["start"] + s["vlen"]).alias("end"),
         ),
     )
     return F.filter(spans, lambda s: s["start"] >= 0)

@@ -62,6 +62,18 @@ _SCAN_BALANCE_ROW_BYTES = 64 << 10  # ~64 KB of parquet per partition
 _SCAN_BALANCE_TABLES = {"documents", "embeddings"}
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size strings: plain bytes or k/m/g(b) suffixed."""
+    s = v.strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    try:
+        if s and s[-1] in mult:
+            return int(float(s[:-1]) * mult[s[-1]])
+        return int(s)
+    except ValueError:
+        return 128 << 20
+
+
 def _scan_balance_width(spark: SparkSession, path: str) -> int:
     import math
     import os as _os
@@ -82,9 +94,8 @@ def _scan_balance_width(spark: SparkSession, path: str) -> int:
         return 0
     if size == 0 or size > _SCAN_BALANCE_MAX_BYTES:
         return 0
-    max_split = int(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
-    )
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    max_split = _parse_bytes(raw)
     est_scan_parts = max(n_files, math.ceil(size / max_split))
     par = spark.sparkContext.defaultParallelism
     if est_scan_parts >= par:

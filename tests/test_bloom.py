@@ -55,7 +55,12 @@ def test_probe_is_map_side(spark):
         filter_unseen(_urls(spark, 0, 100), bf)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan  # zero shuffle on the probe side
+    # zero SHUFFLE on the probe side; the small-bitmap path adds a
+    # BroadcastExchange for the one-row bitmap relation, which moves the
+    # bitmap once per executor, never the candidates
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange RoundRobin" not in plan
 
 
 def test_large_bitmap_arrow_path_no_false_negatives(spark):

@@ -141,12 +141,15 @@ def test_bloom_prefilter_keeps_broadcast_join_shape(spark):
     assert plan.count("ArrowEvalPython") == 0
     assert plan.count("BatchEvalPython") == 0
     # and the pre-filter adds ZERO shuffles vs the exact path: the corpus
-    # stream still reaches the join exchange-free
+    # stream still reaches the join exchange-free (the bloom plan can show
+    # FEWER exchanges — its benchmark gram table is checkpointed before
+    # the bitmap build, so that side's distinct is materialized outside
+    # this plan)
     exact_plan = (
         dc.contamination_report(_docs(spark), _bench(spark), n=8)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange hashpartitioning") == exact_plan.count(
+    assert plan.count("Exchange hashpartitioning") <= exact_plan.count(
         "Exchange hashpartitioning"
     )
 
