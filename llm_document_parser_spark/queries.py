@@ -32,9 +32,18 @@ REGISTRY: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True
+) -> DataFrame:
+    """Read one sf table. ``rebalance=False`` opts a query out of the
+    small-file scan rebalance below — right for tiny-slice queries
+    (``doc_id < 40``-style planted-dup bases: 40 rows spread over 64
+    partitions is pure task overhead) and for single-pass hash
+    aggregations (exact_dup_groups: the extra full-row exchange of the
+    text payload costs more than the one-task scan it parallelizes —
+    measured +0.5 s at sf1.0)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _SCAN_BALANCE_TABLES:
+    if rebalance and name in _SCAN_BALANCE_TABLES:
         n = _scan_balance_width(spark, f"{sf_dir}/{name}.parquet")
         if n:
             return df.repartition(n)
@@ -1550,8 +1559,10 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+def _docs_with_exact_dups(
+    spark: SparkSession, sf_dir: str, rebalance: bool = True
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents", rebalance=rebalance)
     dup = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -1669,7 +1680,9 @@ def curated_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy duplicate groups (planted + natural dups)."""
-    return dedup.exact_dup_groups(_docs_with_exact_dups(spark, sf_dir))
+    return dedup.exact_dup_groups(
+        _docs_with_exact_dups(spark, sf_dir, rebalance=False)
+    )
 
 
 _MINHASH_SIG_SQL = "[" + ", ".join(
@@ -1698,7 +1711,9 @@ _MINHASH_ORACLE = f"""
 @query("minhash_near_dup_pairs", _MINHASH_ORACLE)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: originals vs drop-first-word copies."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(
+        F.col("doc_id") < 40
+    )
     mutated = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
@@ -1778,7 +1793,9 @@ def verified_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (bucket equi-join) verified by exact Jaccard over ONLY the
     candidate pairs — never all pairs. Same planted drop-first-word base
     as minhash_near_dup_pairs."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(
+        F.col("doc_id") < 40
+    )
     mutated = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
@@ -1816,7 +1833,9 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons label themselves. The oracle computes the same fixpoint
     with a recursive CTE (transitive min-label closure), so the iterative
     Spark loop is verified value-for-value, not just rows-only."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    d = _t(spark, sf_dir, "documents", rebalance=False).filter(
+        F.col("doc_id") < 40
+    )
     mutated = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1, length(text))").alias("text"),
@@ -2009,7 +2028,9 @@ def _simhash_oracle() -> str:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (majority vote over token md5 bits)."""
     return dedup.simhash16(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+        _t(spark, sf_dir, "documents", rebalance=False).filter(
+            F.col("doc_id") < 100
+        )
     )
 
 
@@ -2704,7 +2725,7 @@ def embedding_near_dups_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs verification query — identical copies always agree in every
     band, so at this threshold the two queries return identical pairs while
     this plan has no cross product."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", rebalance=False)
     base = (
         e.filter(F.col("vec_id") < 100)
         .select("vec_id", "embedding")
