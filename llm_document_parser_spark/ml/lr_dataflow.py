@@ -64,13 +64,23 @@ def hashed_token_features(
     whitespace tokens whose hash bucket is ``b``. Documents with zero
     tokens are dropped (no rate is defined). ``label_col`` is any 0/1
     expression over the input row; omit it for scoring-only frames."""
-    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != "")
-    bks = F.transform(toks, lambda t: _bucket_of(t, n_buckets))
-    n = F.size(bks)
+    # one interpreted HOF pass total (the per-token md5 bucketing, which
+    # is irreducible), emitting one CHARACTER per token; the per-bucket
+    # counts then come from 16 codegen string `replace`s instead of 16
+    # interpreted `filter` passes over the bucket array (measured:
+    # featurization 1.3 s -> 0.5 s, full 3-iteration fit 2.3 s -> 1.6 s
+    # at 50k docs; output bit-identical — same counts, same division)
+    toks = F.array_remove(tokens_col(F.col(text_col)), "")
+    bstr = F.array_join(
+        F.transform(toks, lambda t: F.char(_bucket_of(t, n_buckets) + 65)),
+        "",
+    )
+    n = F.length(bstr)
     f = F.array(
         *[
             (
-                F.size(F.filter(bks, lambda b: b == F.lit(i))).cast("double")
+                (n - F.length(F.replace(bstr, F.lit(chr(65 + i)))))
+                .cast("double")
                 / n.cast("double")
             )
             for i in range(n_buckets)

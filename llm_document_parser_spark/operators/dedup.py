@@ -548,12 +548,20 @@ def connected_components(
     convergence (pathological chain longer than the limit) rather than
     returning a partial clustering.
     """
+    # materialize the edge table ONCE, hash-partitioned and sorted on the
+    # per-iteration join key (the propagate_trust edge-table discipline):
+    # localCheckpoint preserves partitioning and ordering, so every
+    # iteration's edges⋈labels join reads the edges side exchange-free
+    # and sort-free instead of re-shuffling the (src,dst)-partitioned
+    # distinct output each round
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .repartition(F.col("src"))
+        .sortWithinPartitions("src")
         .localCheckpoint()
     )
     labels = (
