@@ -37,39 +37,18 @@ from pyspark.sql import functions as F
 
 
 def _dist2(vec: Column, center: list[float]) -> Column:
-    """round-9 squared distance between ``vec`` and a centroid literal.
-
-    Unrolled per-dimension codegen terms instead of ``zip_with`` +
-    ``aggregate``: Spark interprets higher-order-function lambdas per
-    element, so the HOF form paid an interpreter round-trip per dim per
-    centroid per row (k x dim per row); the unrolled sum is whole-stage
-    codegen. Identical values: addition stays left-associated in dim
-    order (the fold order of the original ``aggregate``; its 0.0 seed is
-    an IEEE no-op since every term is a non-negative square), and the
-    ``size`` guard reproduces ``zip_with``'s null-padding — a vector of
-    the wrong length yields NULL, as before."""
-    return _dist2_at(vec, center, offset=0, exact_len=True)
-
-
-def _dist2_at(
-    vec: Column, center: list[float], offset: int = 0, exact_len: bool = False
-) -> Column:
-    """``_dist2`` against ``vec[offset : offset+len(center)]`` without
-    materializing a slice. ``exact_len=True`` additionally requires the
-    vector to END at the subspace (full-vector semantics: extra dims make
-    the distance NULL, matching ``zip_with`` length-padding); slice-mode
-    callers (PQ subspaces) only require the subspace to be in range."""
-    dim = len(center)
-    terms = []
-    for d, w in enumerate(center):
-        x = F.try_element_at(vec, F.lit(offset + d + 1)).cast("double")
-        terms.append((x - F.lit(float(w))) * (x - F.lit(float(w))))
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    n = F.size(vec)
-    ok = (n == F.lit(offset + dim)) if exact_len else (n >= F.lit(offset + dim))
-    return F.round(F.when(ok, s), 9)
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(w)) for w in center]),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
 
 
 def assign_cells(

@@ -160,19 +160,15 @@ def pq_train(
 def _pq_codes_col(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
     """ARRAY<INT> of per-subspace nearest-centroid ids (round-9 argmin,
     lowest-id ties — assign_cells algebra inlined per subspace)."""
-    from ..ml.kmeans_dataflow import _dist2_at
+    from ..ml.kmeans_dataflow import _dist2
 
     sub = len(codebooks[0][0])
     code_cols = []
     for j, book in enumerate(codebooks):
-        # _dist2_at indexes the base vector at the subspace offset
-        # directly — no per-centroid slice materialization
+        piece = F.slice(F.col(vec_col), j * sub + 1, sub)
         scored = F.array(
             *[
-                F.struct(
-                    _dist2_at(F.col(vec_col), c, offset=j * sub).alias("dist"),
-                    F.lit(i).alias("cell"),
-                )
+                F.struct(_dist2(piece, c).alias("dist"), F.lit(i).alias("cell"))
                 for i, c in enumerate(book)
             ]
         )
