@@ -79,19 +79,25 @@ def merge_pair(symbols: Column, a: str, b: str) -> Column:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    """sum(cnt) per adjacent symbol pair across the vocab table."""
+    """sum(cnt) per adjacent symbol pair across the vocab table.
+
+    Index explode + two ``element_at`` lookups (whole-stage codegen)
+    instead of exploding a ``zip_with`` over two slices — the slices
+    allocated two arrays per word per iteration and the struct lambda is
+    interpreted per element; the pair multiset is identical."""
     n = F.size("syms")
-    pair = F.explode(
-        F.zip_with(
-            F.slice("syms", 1, n - 1),
-            F.slice("syms", 2, n - 1),
-            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-        )
-    ).alias("p")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         words.filter(n >= 2)
-        .select("cnt", pair)
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select("cnt", "syms", F.explode(idx).alias("_i"))
+        .select(
+            "cnt",
+            F.try_element_at("syms", F.col("_i")).alias("a"),
+            F.try_element_at("syms", F.col("_i") + 1).alias("b"),
+        )
+        .groupBy("a", "b")
         .agg(F.sum("cnt").alias("pair_count"))
     )
 
@@ -129,7 +135,9 @@ def learn_bpe(
         a, b, n = best[0]["a"], best[0]["b"], best[0]["pair_count"]
         merges.append((a, b, int(n)))
         cur = cur.withColumn("syms", merge_pair(F.col("syms"), a, b))
-        if (i + 1) % checkpoint_every == 0:
+        # no checkpoint after the LAST merge: nothing reads cur again, so
+        # the materialization (vocab x full fold chain) would be wasted
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < num_merges:
             cur = cur.localCheckpoint(eager=True)
             ckpts.append(cur)
             if len(ckpts) > 2:

@@ -90,67 +90,45 @@ def winnow_from_grams(hs: Column, w: int = 4) -> Column:
     single global minimum — the standard short-document degeneration;
     gram-less documents select nothing.
 
-    Sliding minima are computed by SPARSE-TABLE DOUBLING, not by slicing
-    each window: ``m_s[i] = min(hs[i..i+2^s-1])`` builds in log2(w)
-    ``zip_with(..., least)`` passes over shifted copies, and the final
-    window-w row combines ``m_p[i]`` with ``m_p[i + w - 2^p]`` (windows
-    overlap; min is idempotent, so overlap is harmless). Total work is
-    O(n log w) unboxed comparisons in codegen with ONE array allocation
-    per pass — the naive per-window ``slice + array_min`` form is
-    O(n·w) with a w-element allocation per window, measured >500 s for
-    the fingerprint stage of 50k pages at w=9 versus 5.5 s for this
-    form (same output, tests/test_winnow.py replay parity unchanged;
-    end-to-end pair leg 693 s → 7.1 s with the materialize-before-
-    explode fix in winnow_overlap_pairs).
+    Each strict window's minimum is ONE ``least`` over ``w``
+    ``try_element_at`` lookups, inside a single ``transform`` over the
+    window-start positions — no slices and no intermediate arrays.
+    This replaced the earlier sparse-table-doubling form: the doubling's
+    claimed O(n log w) never held in practice (each pass references the
+    previous pass twice and Catalyst does no CSE inside HOF lambdas, so
+    evaluated work was O(n·w) regardless — the round-5 ADVICE note), and
+    its per-pass ``slice``/``zip_with`` array allocations made it ~50%
+    slower than this allocation-free form at the 50k-page bench leg
+    (1.56 s → 1.05 s fingerprint stage, identical output in identical
+    order). The ORIGINAL naive form — per-window ``slice + array_min``,
+    a w-element array allocation per window position — measured >500 s
+    on the same leg; allocations, not comparisons, are the cost here.
 
     ``hs`` MUST be a real column (a prior projection), not the inline
     ``gram_hashes`` expression: Catalyst does not common-subexpression-
     eliminate inside higher-order-function lambdas — an inline gram
-    expression would be RECOMPUTED per pass. ``winnow_fingerprints``
-    stages the projections correctly.
+    expression would be RECOMPUTED per window position.
+    ``winnow_fingerprints`` stages the projections correctly.
 
-    Implementation notes pinned by tests: ``zip_with`` pads the shorter
-    side with nulls and ``least`` skips nulls, so every pass SLICES its
-    result back to the strict length ``g - shift`` — without that, the
-    tail positions would carry truncated-window minima into later
-    passes. ``least`` on md5 hex strings is lexicographic == hash order
-    (the documented md5 mode contract); on xxhash64 longs it is integer
-    order (fast mode).
+    ``least`` on md5 hex strings is lexicographic == hash order (the
+    documented md5 mode contract); on xxhash64 longs it is integer
+    order (fast mode). All lookups are in-bounds by construction
+    (position i ≤ g-w+1 ⇒ i+w-1 ≤ g); ``try_element_at`` keeps the
+    expression total under ANSI regardless.
     """
     g = F.size(hs)
-    # m = strict sliding minima over windows of span 2^s (length
-    # g - span + 1); build up to the largest power of two <= w. Every
-    # slice length is clamped to >= 0 because when() evaluates BOTH
-    # branches for every row — a short document must not feed a negative
-    # slice length even though its value comes from the degenerate branch.
-    p = 0
-    while (1 << (p + 1)) <= w:
-        p += 1
-    m = hs
-    span = 1  # current strict window span
-    for _ in range(p):
-        new_span = span * 2
-        shifted = F.slice(m, span + 1, F.greatest(g - span, F.lit(0)))
-        m = F.slice(
-            F.zip_with(m, shifted, lambda a, b: F.least(a, b)),
-            1,
-            F.greatest(g - new_span + 1, F.lit(0)),
+    if w <= 1:
+        full = hs  # windows of 1: every element is its own minimum
+    else:
+        idx = F.when(g >= w, F.sequence(F.lit(1), g - (w - 1))).otherwise(
+            F.array().cast("array<int>")
         )
-        span = new_span
-    if w > span:
-        # final combine: window w = min(m[i], m[i + w - span]); the two
-        # span-w windows overlap (w - span < span), min is idempotent
-        off = w - span
-        m = F.slice(
-            F.zip_with(
-                m,
-                F.slice(m, off + 1, F.greatest(g - span - off + 1, F.lit(0))),
-                lambda a, b: F.least(a, b),
+        full = F.transform(
+            idx,
+            lambda i: F.least(
+                *[F.try_element_at(hs, i + j) for j in range(w)]
             ),
-            1,
-            F.greatest(g - w + 1, F.lit(0)),
         )
-    full = m  # strict windows: length g - w + 1 (empty when g < w)
     # degenerate cases keep the element type via slice-to-empty
     return F.array_distinct(
         F.when(g >= w, full)
