@@ -170,7 +170,20 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    edges = edges.select("src_host", "dst_host", "n_links")
+    # materialize the edge table ONCE, hash-partitioned and sorted on the
+    # per-iteration join key (the propagate_trust edge-table discipline):
+    # the caller's edge derivation is typically a full corpus
+    # explode+aggregate (host_link_graph), and without this cut it re-ran
+    # inside EVERY action — the node count, the initial state, and each
+    # iteration's contribs join; localCheckpoint preserves partitioning
+    # and ordering, so the per-iteration join also reads the edge side
+    # exchange-free and sort-free
+    edges = (
+        edges.select("src_host", "dst_host", "n_links")
+        .repartition(F.col("src_host"))
+        .sortWithinPartitions("src_host")
+        .localCheckpoint(eager=True)
+    )
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_weight"))
     nodes = (
         edges.select(F.col("src_host").alias("host"))
