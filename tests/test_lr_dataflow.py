@@ -108,3 +108,33 @@ def test_zero_iterations_is_zero_model(spark, feats):
     assert w == [0.0] * N_BUCKETS and b == 0.0
     # zero model scores everything at exactly 0.5
     assert all(r["p"] == 0.5 for r in lr_score(feats, w, b).collect())
+
+
+def test_feature_parity_wide_buckets_unicode(spark):
+    """Focused regression for the char-histogram featurization (round 6):
+    per-bucket counts come from one bucket-CHAR per token plus codegen
+    string replaces, so parity must hold beyond the A-P range of
+    n_buckets=16 and for non-ASCII tokens (multi-byte chars must not
+    skew the length-difference counting)."""
+    nb = 64
+    docs = [
+        (0, "café naïve café über zürich 東京 東京 tokyo", 1.0),
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z", 0.0),
+        (2, "mixed 東京 case MiXeD £price €uro", 1.0),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lab double")
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["f"]))
+        for r in hashed_token_features(
+            df, label_col=F.col("lab"), n_buckets=nb
+        ).collect()
+    }
+    for did, text, _ in docs:
+        toks = [t for t in text.lower().split(" ") if t]
+        f = np.zeros(nb)
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % nb
+            f[b] += 1.0
+        f /= len(toks)
+        assert got[did][0] == len(toks), did
+        assert np.allclose(got[did][1], f, atol=1e-15), did

@@ -134,3 +134,23 @@ def test_fast_mode_guarantee_and_types(spark):
         df, k=K, w=W, min_shared=1, hash_fn="fast"
     ).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_window_sizes_replay_including_w1(spark):
+    """Focused regression for the round-6 one-pass window minima: parity
+    with the pure-Python replay across window sizes, including the w=1
+    degenerate (every gram selected — exercises the non-`least` branch)
+    and a w larger than a power of two (uneven final window)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "abcabcabcabcabc"),
+        (3, "xy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for w in (1, 2, 3, 5, 7, 9):
+        got = {
+            r["id"]: set(r["fingerprints"])
+            for r in winnow_fingerprints(df, k=3, w=w).collect()
+        }
+        for i, t in rows:
+            assert got[i] == _py_winnow(t, k=3, w=w), f"doc {i} w={w}"
