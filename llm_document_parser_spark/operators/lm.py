@@ -87,14 +87,26 @@ def score_unigram_logprob(
 def _pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Adjacent token pairs per document: ``(id, w1, w2)``. Empty tokens
     (runs of spaces) are dropped BEFORE pairing so adjacency matches a
-    whitespace tokenizer's; docs with <2 tokens contribute no pairs."""
-    toks = F.filter(tokens_col(F.col(text_col)), lambda x: x != "")
-    n_m1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, n_m1).alias("w1"), F.slice(toks, 2, n_m1).alias("w2")
+    whitespace tokenizer's; docs with <2 tokens contribute no pairs.
+
+    Index explode + two ``element_at`` lookups (whole-stage codegen)
+    instead of exploding an ``arrays_zip`` over two slices — the slices
+    allocated two arrays per row and the empty-token ``filter`` HOF was
+    interpreted per element (``array_remove`` is the codegen
+    equivalent); the pair multiset is identical."""
+    toks = F.array_remove(tokens_col(F.col(text_col)), "")
+    n = F.size("__ptk")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    return df.select(F.col(id_col), F.explode(zipped).alias("p")).select(
-        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    return (
+        df.select(F.col(id_col), toks.alias("__ptk"))
+        .select(id_col, "__ptk", F.explode(idx).alias("__pi"))
+        .select(
+            id_col,
+            F.try_element_at("__ptk", F.col("__pi")).alias("w1"),
+            F.try_element_at("__ptk", F.col("__pi") + 1).alias("w2"),
+        )
     )
 
 
