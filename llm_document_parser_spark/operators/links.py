@@ -468,23 +468,42 @@ def hits_scores(
     textbook L2). Fixed iteration budget, deterministic.
 
     Plan per iteration: two edge equi-joins + two groupBys (host-keyed
-    shuffles AQE coalesces) + two 1-row normalizer cross joins; the same
-    localCheckpoint/unpersist lineage discipline as pagerank.
+    shuffles AQE coalesces) + two 1-row normalizer cross joins.
+
+    Materialization discipline (the pagerank/propagate_trust rule, which
+    this operator originally lacked): the edge table — typically a DERIVED
+    corpus aggregation — and the node list are ``localCheckpoint``-ed
+    once, and each iteration's normalized hub/auth vectors are
+    materialized before reuse. Without the cuts the auth vector is
+    referenced twice per iteration (hub step + result join) and nothing
+    truncates lineage inside the loop, so the unevaluated DAG — and the
+    re-derivation of the caller's edge expression from the source scan —
+    roughly DOUBLES per iteration (measured: 21 s for 3 iterations on a
+    14-host graph whose edges derive from a parquet scan; ~1 s after).
+    The per-iteration materializations are O(hosts) rows, the same state
+    size pagerank checkpoints. ``checkpoint_every`` is kept for API
+    compatibility; the vector checkpoints already truncate state lineage
+    every iteration, so it has no further effect.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    edges = edges.select("src_host", "dst_host", "n_links")
+    edges = (
+        edges.select("src_host", "dst_host", "n_links")
+        .repartition(F.col("src_host"))
+        .sortWithinPartitions("src_host")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     state = nodes.select(
         "host", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     )
-    state = state.localCheckpoint(eager=True)
-    last_ckpt = state
-    for i in range(iterations):
+    live: list[DataFrame] = []
+    for _ in range(iterations):
         auth_raw = (
             state.select(F.col("host").alias("src_host"), "hub")
             .join(edges, "src_host")
@@ -495,11 +514,15 @@ def hits_scores(
             "host", F.coalesce(F.col("a_raw"), F.lit(0.0)).alias("a_raw")
         )
         a_norm = a_full.agg(F.sum("a_raw").alias("a_sum"))
-        a_full = a_full.crossJoin(F.broadcast(a_norm)).select(
-            "host",
-            F.when(F.col("a_sum") > 0, F.col("a_raw") / F.col("a_sum"))
-            .otherwise(0.0)
-            .alias("auth"),
+        a_full = (
+            a_full.crossJoin(F.broadcast(a_norm))
+            .select(
+                "host",
+                F.when(F.col("a_sum") > 0, F.col("a_raw") / F.col("a_sum"))
+                .otherwise(0.0)
+                .alias("auth"),
+            )
+            .localCheckpoint(eager=True)
         )
         hub_raw = (
             a_full.select(F.col("host").alias("dst_host"), "auth")
@@ -511,15 +534,21 @@ def hits_scores(
             "host", F.coalesce(F.col("h_raw"), F.lit(0.0)).alias("h_raw")
         )
         h_norm = h_full.agg(F.sum("h_raw").alias("h_sum"))
-        h_full = h_full.crossJoin(F.broadcast(h_norm)).select(
-            "host",
-            F.when(F.col("h_sum") > 0, F.col("h_raw") / F.col("h_sum"))
-            .otherwise(0.0)
-            .alias("hub"),
+        h_full = (
+            h_full.crossJoin(F.broadcast(h_norm))
+            .select(
+                "host",
+                F.when(F.col("h_sum") > 0, F.col("h_raw") / F.col("h_sum"))
+                .otherwise(0.0)
+                .alias("hub"),
+            )
+            .localCheckpoint(eager=True)
         )
         state = h_full.join(a_full, "host").select("host", "hub", "auth")
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            state = state.localCheckpoint(eager=True)
-            last_ckpt.unpersist()
-            last_ckpt = state
+        # the previous iteration's vector blocks are dead once this
+        # iteration's are materialized (the returned state only references
+        # the LAST pair, which stays persisted)
+        for df in live:
+            df.unpersist()
+        live = [a_full, h_full]
     return state

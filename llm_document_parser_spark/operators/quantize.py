@@ -132,28 +132,87 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks: ``m`` lists of k centroids (k =
     len(init_ids)), subspace j trained on dimensions
-    [j*d/m, (j+1)*d/m) of every vector. One kmeans_lloyd run per
-    subspace over a sliced projection — m small driver-held models."""
-    from ..ml.kmeans_dataflow import kmeans_lloyd
+    [j*d/m, (j+1)*d/m) of every vector — the kmeans_lloyd algebra
+    (round-9 argmin, lowest-id ties, empty cell keeps its centroid)
+    applied to every subspace in ONE dataflow.
+
+    All ``m`` Lloyd runs are independent, so training them as separate
+    kmeans_lloyd calls cost m×(1 + iterations) corpus actions — at real
+    corpus width that is m redundant full scans per iteration. Here the
+    seed vectors are collected once (sliced on the driver: O(model)),
+    and each iteration is a single job: per row, an m-element struct
+    array carries (subspace, assigned cell, subvector), explodes, and
+    one groupBy (subspace, cell) emits every codebook's centroid
+    updates together. Per-subspace arithmetic is unchanged — the same
+    values aggregate under the same per-partition order, only grouped
+    by (subspace, cell) instead of one job per subspace."""
+    from ..ml.kmeans_dataflow import _dist2
 
     if init_ids is None:
         init_ids = [0, 1, 2, 3]
-    dim = len(corpus.select(vec_col).first()[0])
+    seed_rows = (
+        corpus.filter(F.col(id_col).isin([int(i) for i in init_ids]))
+        .select(id_col, vec_col)
+        .collect()  # k seed vectors — O(model), not a data collection
+    )
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in seed_rows}
+    missing = [i for i in init_ids if i not in by_id]
+    if missing:
+        raise ValueError(f"init ids not found in corpus: {missing}")
+    dim = len(by_id[init_ids[0]])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
-        )
-        books.append(
-            kmeans_lloyd(
-                sliced, init_ids, iterations=iterations,
-                id_col=id_col, vec_col=vec_col,
+    books = [
+        [by_id[i][j * sub:(j + 1) * sub] for i in init_ids] for j in range(m)
+    ]
+    if iterations == 0:
+        return books
+    k = len(init_ids)
+    corpus = corpus.select(vec_col).persist()
+    try:
+        for _ in range(iterations):
+            arms = []
+            for j, book in enumerate(books):
+                piece = F.slice(F.col(vec_col), j * sub + 1, sub)
+                scored = F.array(
+                    *[
+                        F.struct(
+                            _dist2(piece, c).alias("dist"),
+                            F.lit(i).alias("cell"),
+                        )
+                        for i, c in enumerate(book)
+                    ]
+                )
+                arms.append(
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.array_min(scored)["cell"].alias("cell"),
+                        piece.alias("sv"),
+                    )
+                )
+            rows = (
+                corpus.select(F.explode(F.array(*arms)).alias("a"))
+                .select("a.j", "a.cell", "a.sv")
+                .groupBy("j", "cell")
+                .agg(
+                    *[
+                        F.avg(F.col("sv")[d].cast("double")).alias(f"m{d}")
+                        for d in range(sub)
+                    ]
+                )
+                .collect()  # <= m*k rows of sub doubles
             )
-        )
+            means = {
+                (r["j"], r["cell"]): [float(r[f"m{d}"]) for d in range(sub)]
+                for r in rows
+            }
+            books = [
+                [means.get((j, i), books[j][i]) for i in range(k)]
+                for j in range(m)
+            ]
+    finally:
+        corpus.unpersist()
     return books
 
 

@@ -393,7 +393,13 @@ def phrase_search(
     )
     if not toks_needed:
         toks_needed = ["--no-terms--"]  # analyzer tokens can never equal
-    postings = index.filter(F.col("token").isin(toks_needed))
+    # materialize the query-term postings ONCE: they feed up to three
+    # sub-plans (loose scores, phrase candidates, negation), and a token
+    # filter cannot push below the index's explode (the predicate is on
+    # the GENERATED attribute), so each consumer would otherwise re-run
+    # the full corpus explode+groupBy. The materialized table is tiny by
+    # construction — only the query's terms' posting rows.
+    postings = index.filter(F.col("token").isin(toks_needed)).localCheckpoint()
 
     # loose-term score per doc (0 rows for docs with no loose hits)
     if loose:
@@ -428,10 +434,25 @@ def phrase_search(
         )
         cands = cands.join(neg_docs, "doc_id", "left_anti")
 
-    matched = df.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize_col(F.col(text_col)).alias("_tk"),
-    ).join(cands, "doc_id")
+    # join the candidate ids FIRST, tokenize after: the analyzer runs only
+    # on surviving candidates, not the whole corpus (the projection used to
+    # sit below the join, so every document paid tokenize_col)
+    matched = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt"))
+        .join(cands, "doc_id")
+        .select("doc_id", tokenize_col(F.col("_txt")).alias("_tk"))
+    )
+    if phrases:
+        # materialize the candidates' token arrays BEFORE the contiguity
+        # filter: the `occ > 0` predicate embeds the whole tokenizer +
+        # phrase-scan expression DAG, and Catalyst pushes it below the
+        # candidate join onto the corpus scan — where the tokenizer
+        # (referenced 4x inside the predicate, no CSE under HOF lambdas)
+        # re-runs per document on the scan task (measured: the entire
+        # query's cost was this pushed-down filter). The checkpointed
+        # table is one token array per CANDIDATE — index-pruned, not
+        # corpus-wide.
+        matched = matched.localCheckpoint()
 
     phrase_score = F.lit(0).cast("long")
     n_hits = F.lit(0).cast("long")

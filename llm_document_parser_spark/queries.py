@@ -7048,7 +7048,9 @@ def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking so ordering is engine-invariant."""
     from .operators.bitext import margin_mined_pairs
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 120
+    )
     a = e.filter(F.col("vec_id") % 2 == 0)
     b = e.filter(F.col("vec_id") % 2 == 1)
     return margin_mined_pairs(a, b, k=4, threshold=1.0)
@@ -7121,7 +7123,9 @@ def kmeans_cell_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (after host_pagerank and lr_langid_fit)."""
     from .ml.kmeans_dataflow import kmeans_lloyd
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 300
+    )
     cents = kmeans_lloyd(e, _KMEANS_INIT_IDS, iterations=2)
     rows = [
         (c, d + 1, w) for c, vec in enumerate(cents) for d, w in enumerate(vec)
@@ -7363,7 +7367,9 @@ def embedding_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table for billion-vector ANN."""
     from .operators.quantize import quantization_report
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 300
+    )
     return quantization_report(e)
 
 
@@ -7602,7 +7608,9 @@ def pq_vector_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier beyond int8."""
     from .operators.quantize import pq_encode, pq_train
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 300
+    )
     books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
     codes = pq_encode(e, books)
     return codes.select(
@@ -7732,7 +7740,9 @@ def pq_adc_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranks entirely in SQL."""
     from .operators.quantize import pq_adc_topk, pq_encode, pq_train
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 300
+    )
     books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
     codes = pq_encode(e, books)
     q = e.filter(F.col("vec_id") < 5)
@@ -7959,7 +7969,9 @@ def ivf_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.kmeans_dataflow import kmeans_lloyd
     from .operators.quantize import ivf_adc_topk, pq_train
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).filter(
+        F.col("vec_id") < 300
+    )
     coarse = kmeans_lloyd(e, _KMEANS_INIT_IDS, iterations=2)
     books = pq_train(e, m=4, init_ids=_PQ_INIT_IDS, iterations=2)
     q = e.filter(F.col("vec_id") < 5)

@@ -79,3 +79,39 @@ def test_empty_graph(spark):
         [], "src_host string, dst_host string, n_links long"
     )
     assert hits_scores(df, iterations=2).collect() == []
+
+
+def test_derived_edges_materialized_once(spark):
+    """hits_scores must cut the caller's edge derivation (typically a
+    corpus aggregation) with an eager checkpoint: without the cut the
+    unevaluated DAG doubles per iteration and the derivation re-runs
+    inside every sub-plan. The returned plan must read the stored edge
+    blocks (ExistingRDD), never the Range derivation."""
+    from pyspark.sql import functions as F
+
+    edges = (
+        spark.range(500)
+        .select(
+            F.concat(F.lit("h"), F.pmod("id", 20).cast("string")).alias(
+                "src_host"
+            ),
+            F.concat(
+                F.lit("h"), F.pmod(F.col("id") * 7 + 3, 25).cast("string")
+            ).alias("dst_host"),
+            (F.pmod("id", 3) + 1).alias("n_links"),
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+    )
+    res = hits_scores(edges, iterations=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "Range (" not in plan
+    # and the fixpoint is still numpy-exact on the derived graph
+    rows = edges.collect()
+    hosts, hub, auth = np_hits(
+        [(r["src_host"], r["dst_host"], r["n_links"]) for r in rows], 3
+    )
+    got = {r["host"]: (r["hub"], r["auth"]) for r in res.collect()}
+    for h in hosts:
+        assert got[h][0] == pytest.approx(hub[hosts.index(h)], abs=1e-12), h
+        assert got[h][1] == pytest.approx(auth[hosts.index(h)], abs=1e-12), h

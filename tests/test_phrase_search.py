@@ -131,3 +131,23 @@ def test_plan_is_index_then_verify_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verify_stage_reads_materialized_tokens(spark):
+    """The contiguity predicate embeds the whole tokenizer + phrase-scan
+    expression DAG; if Catalyst pushes it below the candidate join onto
+    the corpus scan, every document pays the tokenizer (4x, no CSE under
+    HOF lambdas) on the scan task. phrase_search materializes the
+    candidates' token arrays first, so the executed plan must carry NO
+    tokenizer at all — the verify stage reads stored arrays."""
+    df = spark.createDataFrame(
+        list(CORPUS.items()), ["url", "extracted_text"]
+    )
+    plan = (
+        phrase_search(df, '"quick brown" fox -vector')
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "split(lower(" not in plan
+    assert "ExistingRDD" in plan

@@ -240,3 +240,24 @@ def test_ivf_adc_composition(spark):
         in_cell.sort()
         want = [(qid, n, rank, d) for rank, (d, n) in enumerate(in_cell[:5], 1)]
         assert [g for g in got if g[0] == qid] == want, qid
+
+
+def test_pq_train_one_pass_matches_per_subspace_lloyd(spark):
+    """pq_train now trains all m subspaces in ONE dataflow per iteration
+    (one corpus scan instead of m); the codebooks must stay bit-identical
+    to the definitional form — an independent kmeans_lloyd run per sliced
+    subspace."""
+    from llm_document_parser_spark.ml.kmeans_dataflow import kmeans_lloyd
+    from llm_document_parser_spark.operators.quantize import pq_train
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(50, 8)
+    df = _df(spark, X)
+    init = [0, 1, 2]
+    books = pq_train(df, m=2, init_ids=init, iterations=2)
+    for j in range(2):
+        sliced = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("embedding")
+        )
+        want = kmeans_lloyd(sliced, init, iterations=2)
+        assert books[j] == want, j
