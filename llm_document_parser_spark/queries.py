@@ -4811,7 +4811,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (Spark: iterative min-label CC; oracle: recursive-CTE closure),
     and keep each group's LEAST-centroid-typical member — assignment,
     similarity, cluster and survivor value-for-value."""
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _t(spark, sf_dir, "embeddings", rebalance=False).select(
+        "vec_id", "embedding"
+    )
     base = (
         e.filter(F.col("vec_id") < 100)
         .unionByName(
